@@ -1,0 +1,202 @@
+"""Text-analysis functions for a large-scale training-data pipeline.
+
+Each function exists twice, built from the SAME constants:
+  - a Spark Column builder (JVM-side, codegen'd — no Python in the hot
+    path), and
+  - a DuckDB SQL snippet builder, used by __spark_entry__.oracle_sql()
+    so the driver's cross-engine value-hash check is exact.
+
+Cross-engine 60-bit hash: both engines md5 the token and reinterpret the
+first 15 hex chars as an integer —
+  Spark : cast(conv(substr(md5(x),1,15),16,10) as bigint)
+  DuckDB: ('0x' || substr(md5(x),1,15))::UBIGINT::BIGINT
+15 hex chars = 60 bits, always < 2^63, so signed/unsigned agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared constants
+
+STOPWORDS = (
+    "the", "a", "an", "of", "and", "to", "in", "is", "for", "on", "with", "as",
+)
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    # tiny n-gram/stopword heuristic banks; deterministic argmax with
+    # lexicographic tie-break
+    "en": ("the", "and", "of", "fox", "quick"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+}
+
+SIMHASH_BITS = 60  # fits the cross-engine 60-bit hash
+SHINGLE_LEN = 5  # character shingles
+MINHASH_PERMS = 8
+
+
+# ---------------------------------------------------------------------------
+# 60-bit cross-engine hash
+
+def hash60_col(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + a BPE-ish word/punct split)
+
+def token_count_col(c: Column) -> Column:
+    toks = F.split(F.trim(c), r"\s+")
+    return F.when(F.trim(c) == "", F.lit(0)).otherwise(F.size(toks))
+
+
+def token_count_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN trim({expr}) = '' THEN 0 "
+        f"ELSE len(regexp_split_to_array(trim({expr}), '\\s+')) END"
+    )
+
+
+def bpe_ish_token_count_col(c: Column) -> Column:
+    """Sub-word-ish token count: words plus digit runs plus punctuation
+    marks counted separately (a cheap stand-in for a BPE tokenizer)."""
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+# ---------------------------------------------------------------------------
+# language ID (marker-bank heuristic)
+
+def _lang_score_col(c: Column, lang: str) -> Column:
+    toks = F.split(F.lower(c), r"\s+")
+    score = None
+    for m in LANG_MARKERS[lang]:
+        hit = F.array_contains(toks, m).cast("int")
+        score = hit if score is None else score + hit
+    return score
+
+
+def lang_id_col(c: Column) -> Column:
+    """argmax over marker banks; ties -> lexicographically smallest
+    language code; all-zero -> 'und'."""
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # process in sorted order with strict '>' so the first (smallest)
+    # code wins ties
+    for lang in sorted(LANG_MARKERS):
+        s = _lang_score_col(c, lang)
+        cond = s > best_score
+        new_best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+        best = new_best
+    return best
+
+
+def lang_id_sql(expr: str) -> str:
+    langs = sorted(LANG_MARKERS)
+    toks = f"regexp_split_to_array(lower({expr}), '\\s+')"
+
+    def score(lang: str) -> str:
+        parts = [
+            f"(CASE WHEN list_contains({toks}, '{m}') THEN 1 ELSE 0 END)"
+            for m in LANG_MARKERS[lang]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    scores = {lang: score(lang) for lang in langs}
+    g = f"greatest({', '.join(scores.values())})"
+    # first (lexicographic) lang hitting the max wins; 0 -> 'und'
+    whens = " ".join(
+        f"WHEN {scores[lang]} = {g} AND {scores[lang]} > 0 THEN '{lang}'" for lang in langs
+    )
+    return f"(CASE {whens} ELSE 'und' END)"
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (length / punct / stopword ratios)
+
+def quality_score_col(c: Column) -> Column:
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count_col(c).cast("double")
+    n_punct = F.size(F.regexp_extract_all(c, F.lit(r"[^\w\s]"), 0)).cast("double")
+    toks = F.split(F.lower(c), r"\s+")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.least(n_punct / F.greatest(n_chars, F.lit(1.0)) * 5.0, F.lit(1.0))
+    stop_score = F.least(n_stop / F.greatest(n_tokens, F.lit(1.0)) * 4.0, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.3 * stop_score + 0.2 * (1.0 - punct_pen), 6)
+
+
+def quality_score_sql(expr: str) -> str:
+    n_chars = f"CAST(length({expr}) AS DOUBLE)"
+    n_tokens = f"CAST({token_count_sql(expr)} AS DOUBLE)"
+    n_punct = f"CAST(len(regexp_extract_all({expr}, '[^\\w\\s]')) AS DOUBLE)"
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+    toks = f"regexp_split_to_array(lower({expr}), '\\s+')"
+    n_stop = f"CAST(len(list_filter({toks}, t -> t IN ({stop_list}))) AS DOUBLE)"
+    len_score = f"least({n_chars} / 500.0, 1.0)"
+    punct_pen = f"least({n_punct} / greatest({n_chars}, 1.0) * 5.0, 1.0)"
+    stop_score = f"least({n_stop} / greatest({n_tokens}, 1.0) * 4.0, 1.0)"
+    return f"round(0.5 * {len_score} + 0.3 * {stop_score} + 0.2 * (1.0 - {punct_pen}), 6)"
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (normalized-content hash)
+
+def fingerprint_col(c: Column) -> Column:
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# reference scalar semantics (SURVEY.md §2.8) as column functions
+
+def reorder_author_col(c: Column) -> Column:
+    """'Last, First' -> 'First Last' (Elsevier/paper_index.py:83-88,
+    SpringerXMLDataExtractor.py:203-204); passthrough when no comma."""
+    parts = F.split(c, ", ")
+    return F.when(
+        F.size(parts) == 2, F.concat_ws(" ", F.element_at(parts, 2), F.element_at(parts, 1))
+    ).otherwise(c)
+
+
+def reorder_author_sql(expr: str) -> str:
+    parts = f"string_split({expr}, ', ')"
+    return (
+        f"CASE WHEN len({parts}) = 2 "
+        f"THEN list_element({parts}, 2) || ' ' || list_element({parts}, 1) "
+        f"ELSE {expr} END"
+    )
+
+
+def zfill3_col(c: Column) -> Column:
+    """str(v).zfill(3) — RSC seed formatting (start_url_gen.py:29,34)."""
+    return F.lpad(c.cast("string"), 3, "0")
+
+
+def zfill3_sql(expr: str) -> str:
+    return f"lpad(CAST({expr} AS VARCHAR), 3, '0')"
+
+
+def normalize_ws_col(c: Column) -> Column:
+    """' '.join(s.split()) — whitespace collapse (article_xml_extractor.py:201)."""
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def normalize_ws_sql(expr: str) -> str:
+    return f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"

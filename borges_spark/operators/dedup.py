@@ -1,0 +1,223 @@
+"""Deduplication operators for web-scale corpus construction.
+
+The reference deduplicates by keyed probe-before-insert
+(Borges/db_scripts/insert_jl.py:28-38) and by fuzzy similarity
+(SequenceMatcher ratio >= 0.99 — Borges/spiders/AIP/
+download_abstract.py:105-108). At 100 TB those become the standard
+corpus-dedup suite below. Every operator is pure DataFrame algebra —
+the only shuffles are the keyed groupBys/joins Catalyst already
+optimizes, and candidate generation is always *banded/bucketed* so no
+O(n^2) pair enumeration ever materializes.
+
+Hashes use the cross-engine 60-bit md5 scheme from functions.text so
+each operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from borges_spark.functions.text import (
+    MINHASH_PERMS,
+    SHINGLE_LEN,
+    SIMHASH_BITS,
+    fingerprint_col,
+    hash60_col,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by normalized-content hash; keeps the smallest id per
+    group (deterministic). One map-side-combinable shuffle."""
+    return (
+        docs.withColumn("fp", fingerprint_col(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dups"))
+        .select(id_col, "fp", "n_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles
+
+
+def shingles_col(text_col: Column, k: int = SHINGLE_LEN) -> Column:
+    """Distinct character k-gram shingles of the normalized text."""
+    norm = F.regexp_replace(F.lower(text_col), r"\s+", " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(norm, i, k)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """(id, perm, minhash) — perm i applies hash60(i || ':' || shingle).
+
+    shingle -> minhash -> band -> bucket-join is the classic pipeline;
+    the explode is linear in total shingle count and combines map-side.
+    """
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )
+    perms = ex.select(
+        id_col, F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm"), "sh"
+    )
+    hashed = perms.withColumn(
+        "h", hash60_col(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh")))
+    )
+    return hashed.groupBy(id_col, "perm").agg(F.min("h").alias("minhash"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n_perms: int = MINHASH_PERMS, band_size: int = 2) -> DataFrame:
+    """Candidate near-dup pairs: ids sharing any LSH band bucket.
+
+    Band hash = md5 of the concatenated minhashes in the band; the
+    self-join is an equi-join on (band, band_hash) — bucketed, never
+    all-pairs.
+    """
+    sig = minhash_signature(docs, text_col, id_col, n_perms)
+    # band hash: minhashes concatenated in perm order (struct sort on the
+    # unique perm key gives a deterministic order inside collect_list)
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
+        lambda s: s["minhash"].cast("string"),
+    )
+    bands = (
+        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.md5(F.concat_ws(",", ordered)).alias("band_hash"))
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_col(text_col: Column, n_bits: int = SIMHASH_BITS) -> Column:
+    """60-bit SimHash over whitespace tokens, as a single aggregate-free
+    column expression (per-row, JVM-side)."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: hash60_col(t))
+    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
+    bit_votes = F.transform(
+        bits,
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("bigint"), b),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bit_votes, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return docs.select(id_col, simhash_col(F.col(text_col)).alias("simhash"))
+
+
+def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                          max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+    """Hamming-ball candidate pairs via the block trick: split the 60-bit
+    hash into n_blocks; any pair within distance max_hamming < n_blocks
+    must agree on >=1 block -> equi-join per block, verify distance."""
+    sh = simhash_table(docs, text_col, id_col)
+    block_bits = SIMHASH_BITS // n_blocks
+    mask = (1 << block_bits) - 1
+    blocks = sh.select(
+        id_col, "simhash",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda b: F.struct(
+                    b.alias("block"),
+                    F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
+    a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key")
+    b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block", "key")
+    cand = a.join(b, ["block", "key"]).filter(F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.filter(hamming <= max_hamming)
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+
+
+def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        threshold: float = 0.8, k: int = SHINGLE_LEN) -> DataFrame:
+    """Exact Jaccard over char-k-gram shingle sets, candidate-bounded:
+    pairs must share >=1 shingle (equi-join on shingle), then
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Never enumerates all pairs."""
+    sh = docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard", F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                            bucket_col: str = "label", threshold: float = 0.95) -> DataFrame:
+    """Near-dup vectors within coarse buckets (a label / cluster id /
+    LSH bucket): equi-join on bucket bounds the pair count, then exact
+    cosine verification. The all-pairs version is deliberately absent."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(bucket_col).alias("bk"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(bucket_col).alias("bk"))
+    cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim_col(
+        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
+    )
+    return (
+        cand.withColumn("cosine", F.round(sim, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

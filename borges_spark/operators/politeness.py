@@ -1,0 +1,127 @@
+"""Per-host politeness scheduling: token-bucket budgets + top-k windows.
+
+The reference enforces politeness with blocking sleeps in serial loops
+(DOWNLOAD_DELAY=1 Borges/settings.py:31; time.sleep(5)
+Borges/spiders/ECS/metadata.py:34; 1.25s AIP/download_paper_v2023.py:117;
+0.1s Elsevier/paper_xml.py:137) and a time-of-day gate
+(ECS/paper_html.py:39-42). A distributed engine cannot sleep on
+executors; instead each fetch round has a wall-clock budget
+`round_budget_s`, and a host's token bucket admits
+
+    k(host)      = floor(round_budget_s / delay_s)   URLs per round
+    every_m(host)= ceil(delay_s / round_budget_s)    rounds between visits
+                   (for delays longer than a round; k=1 on those rounds)
+
+Budgets are a pure function of (config, round) — NEVER of partition
+count — so N-core and 4N-core runs select identical URLs (the
+determinism requirement in SURVEY.md §7).
+
+Selection itself is the W1 window operator (SURVEY.md §2.5):
+row_number over (host, order) <= k — a single shuffle on host.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PolitenessConfig:
+    default_delay_s: float = 1.0  # Borges/settings.py:31
+    round_budget_s: float = 60.0
+    host_delays: tuple[tuple[str, float], ...] = ()
+    # time-of-day gates per host: (host, start_hour, end_hour); a host is
+    # eligible only when round_hour is inside [start, end) (wrapping) —
+    # models ECS/paper_html.py:39-42.
+    host_windows: tuple[tuple[str, int, int], ...] = ()
+    start_hour: int = 0  # hour-of-day of round 0
+
+
+def budget_for(delay_s: float, round_budget_s: float) -> tuple[int, int]:
+    """(k per eligible round, every_m rounds) for one host."""
+    if delay_s <= 0:
+        return (1 << 30, 1)
+    k = int(round_budget_s // delay_s)
+    if k >= 1:
+        return (k, 1)
+    return (1, int(math.ceil(delay_s / round_budget_s)))
+
+
+def budgets_df(spark, cfg: PolitenessConfig) -> DataFrame:
+    """Small per-host override table (only hosts with non-default config),
+    broadcast-joined at selection; every other host falls back to the
+    default budget via coalesce — no scan over the (huge) host universe.
+    """
+    delays = dict(cfg.host_delays)
+    windows = {h: (a, b) for h, a, b in cfg.host_windows}
+
+    def rows_for(host: str):
+        d = delays.get(host, cfg.default_delay_s)
+        k, m = budget_for(d, cfg.round_budget_s)
+        w = windows.get(host)
+        return (host, k, m, w[0] if w else None, w[1] if w else None)
+
+    host_list = sorted(set(delays) | set(windows))
+    schema = "host string, k int, every_m int, win_start int, win_end int"
+    if not host_list:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame([rows_for(h) for h in host_list], schema)
+
+
+def hour_of_round(r: int, cfg: PolitenessConfig) -> int:
+    return (cfg.start_hour + r) % 24
+
+
+def select_round(
+    eligible: DataFrame,
+    budgets: DataFrame,
+    round_no: int,
+    cfg: PolitenessConfig,
+    order_mode: str = "priority",
+) -> DataFrame:
+    """Pick this round's fetch set: top-k per host under the budget.
+
+    eligible: frontier rows already filtered to state='pending',
+    attempts not exhausted, next_allowed_round <= round_no.
+
+    Total order (documented, tie-proof — SURVEY.md §7 'what's hard'):
+      priority mode: priority DESC, discovered_seq ASC, url_hash ASC
+      fifo mode (reference-equivalent insertion order):
+                     discovered_seq ASC, url_hash ASC
+    """
+    hour = hour_of_round(round_no, cfg)
+    dk, dm = budget_for(cfg.default_delay_s, cfg.round_budget_s)
+    joined = eligible.join(F.broadcast(budgets), "host", "left")
+    joined = joined.withColumn("k", F.coalesce("k", F.lit(dk))).withColumn(
+        "every_m", F.coalesce("every_m", F.lit(dm))
+    )
+
+    # cadence gate for slow hosts + time-of-day gate
+    gate = F.pmod(F.lit(round_no), F.col("every_m")) == 0
+    in_window = F.when(
+        F.col("win_start").isNull(), F.lit(True)
+    ).otherwise(
+        F.when(
+            F.col("win_start") <= F.col("win_end"),
+            (F.lit(hour) >= F.col("win_start")) & (F.lit(hour) < F.col("win_end")),
+        ).otherwise(  # wrapping window, e.g. 18 -> 7
+            (F.lit(hour) >= F.col("win_start")) | (F.lit(hour) < F.col("win_end"))
+        )
+    )
+    joined = joined.filter(gate & in_window)
+
+    if order_mode == "fifo":
+        order = [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+    else:
+        order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+
+    w = Window.partitionBy("host").orderBy(*order)
+    return (
+        joined.withColumn("host_rank", F.row_number().over(w))
+        .filter(F.col("host_rank") <= F.col("k"))
+        .drop("k", "every_m", "win_start", "win_end")
+    )

@@ -1,0 +1,305 @@
+"""CrawlEngine — the round-based distributed crawl loop.
+
+One fetch round =
+    SELECT top-k per host FROM frontier WHERE eligible(politeness, robots)
+    -> vectorized fetch (join against the page store)
+    -> vectorized parse (mapInPandas: decode, text, out-links)
+    -> seen-check new links (Bloom pre-filter + exact anti-join)
+    -> MERGE frontier state + APPEND crawl_log/metrics
+    -> atomic snapshot commit.
+
+This is the faithful distributed generalization of every loop in the
+reference (SURVEY.md §3): the ECS six-script chain
+(Borges/spiders/ECS/*), the Elsevier 8-thread downloader
+(Elsevier/paper_xml.py:244-263), and the poll-until-empty pattern
+(ECS/metadata.py:33-37). Determinism contract: every selection,
+sequence number, and state transition is a pure function of
+(seeds, pages, config, round) — never of partition count — so runs at
+local[8] and local[32] (or N and 4N executors) produce identical
+crawl logs and seen sets.
+
+Scale notes (the 100 TB / 10^10-frontier design):
+  - frontier is re-read from the committed snapshot every round: plans
+    stay O(1) size across rounds (no lineage blow-up) and resume is
+    free;
+  - the only per-round shuffles are (a) the host window for top-k,
+    (b) the anti-join for Bloom positives, (c) the frontier merge —
+    all keyed, all AQE-managed; skewed hot hosts are bounded by the
+    politeness budget itself (a host can contribute at most k rows);
+  - fetch + parse never leave Arrow batches; no per-row Python.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from borges_spark.functions.html import parse_pages_batches
+from borges_spark.functions.urls import canonicalize_url_col, url_hash_col, url_host_col
+from borges_spark.operators.frontier import add_sequence, merge_upsert, route_fetch_outcomes, error_class_col
+from borges_spark.operators.politeness import PolitenessConfig, budgets_df, select_round
+from borges_spark.operators.seen import BloomConfig, build_seen_shards, filter_unseen
+from borges_spark.plans.checkpoint import SnapshotStore
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    max_rounds: int = 50
+    max_attempts: int = 3  # Elsevier/paper_xml.py:141
+    retry_backoff_rounds: int = 1
+    order_mode: str = "priority"  # 'priority' (OPIC-ish) | 'fifo' (reference order)
+    fail_every: int = 0  # inject deterministic transient 503 when pmod(url_hash, fail_every)==0
+    use_bloom: bool = True
+    politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
+    bloom: BloomConfig = field(default_factory=BloomConfig)
+
+
+_FRONTIER_COLS = [
+    "url", "url_hash", "host", "depth", "priority", "discovered_seq",
+    "discovered_round", "state", "attempts", "next_allowed_round",
+]
+
+_PARSE_SCHEMA = (
+    "url string, url_hash bigint, host string, depth int, priority double, "
+    "discovered_seq bigint, discovered_round int, state string, attempts int, "
+    "next_allowed_round int, host_rank int, rank_in_round bigint, status int, "
+    "lang string, text string, links array<string>, n_links int"
+)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        seeds: DataFrame,
+        store: SnapshotStore,
+        cfg: CrawlConfig = CrawlConfig(),
+        robots: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.pages = pages
+        self.seeds = seeds
+        self.store = store
+        self.cfg = cfg
+        self.robots = robots  # (host, disallow_prefixes); reference disables robots (settings.py:23)
+        self.budgets = budgets_df(spark, cfg.politeness)
+
+    # -- initialization --------------------------------------------------
+    def init_frontier(self) -> DataFrame:
+        s = self.seeds
+        url = canonicalize_url_col("url")
+        return s.select(
+            url.alias("url"),
+            url_hash_col(url).alias("url_hash"),
+            url_host_col(url).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("priority"),
+            F.col("seq").cast("long").alias("discovered_seq"),
+            F.lit(0).alias("discovered_round"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("next_allowed_round"),
+        ).dropDuplicates(["url_hash"])
+
+    # -- one round ---------------------------------------------------------
+    def _apply_robots(self, eligible: DataFrame) -> DataFrame:
+        if self.robots is None:
+            return eligible
+        rb = F.broadcast(self.robots.select("host", "disallow_prefixes"))
+        joined = eligible.join(rb, "host", "left")
+        blocked = F.exists(
+            F.coalesce(F.col("disallow_prefixes"), F.array()),
+            lambda p: F.expr("url").startswith(F.concat(F.lit("https://"), F.col("host"), p))
+            | F.expr("url").startswith(F.concat(F.lit("http://"), F.col("host"), p)),
+        )
+        return joined.filter(~blocked).drop("disallow_prefixes")
+
+    def run_round(self, frontier: DataFrame, round_no: int, next_seq: int) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
+        """Returns (new_frontier, crawl_log, metrics, n_selected, next_seq)."""
+        cfg = self.cfg
+        eligible = frontier.filter(
+            (F.col("state") == "pending")
+            & (F.col("attempts") < cfg.max_attempts)
+            & (F.col("next_allowed_round") <= round_no)
+        )
+        eligible = self._apply_robots(eligible)
+        selected = select_round(eligible, self.budgets, round_no, cfg.politeness, cfg.order_mode)
+
+        if cfg.order_mode == "fifo":
+            order = [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+        else:
+            order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+        selected = add_sequence(selected, order, "rank_in_round", start=1)
+        n_selected = selected.count()
+        if n_selected == 0:
+            return frontier, None, None, 0, next_seq
+
+        # -- fetch: equi-join against the page store ("the web") ---------
+        page_side = self.pages.select(
+            F.col("url"), F.col("html"), F.col("lang").alias("_page_lang")
+        )
+        fetched = selected.join(page_side, "url", "left")
+        fail_injected = (
+            (F.lit(cfg.fail_every) > 0)
+            & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
+            & (F.col("attempts") == 0)
+        )
+        status = (
+            F.when(F.col("html").isNull(), F.lit(404))
+            .when(fail_injected, F.lit(503))
+            .otherwise(F.lit(200))
+        )
+        fetched = fetched.withColumn("status", status).withColumn(
+            "html", F.when(F.col("status") == 200, F.col("html"))
+        ).withColumn("lang", F.col("_page_lang")).drop("_page_lang")
+
+        # -- parse: Arrow-batched decode + extract ------------------------
+        parse_in = fetched.select(
+            *_FRONTIER_COLS, "host_rank", "rank_in_round", "status", "lang", "html"
+        )
+
+        def _parse(it):
+            import pandas as pd
+
+            from borges_spark.functions.html import decode_html, extract_links, extract_text
+
+            for pdf in it:
+                ok = pdf["status"] == 200
+                htmls = [decode_html(h) if o else "" for h, o in zip(pdf["html"], ok)]
+                texts = [extract_text(h) if o else None for h, o in zip(htmls, ok)]
+                links = [extract_links(u, h) if o else [] for u, h, o in zip(pdf["url"], htmls, ok)]
+                out = pdf.drop(columns=["html"]).copy()
+                out["text"] = texts
+                out["links"] = links
+                out["n_links"] = [len(ls) for ls in links]
+                yield out
+
+        parsed = parse_in.mapInPandas(_parse, _PARSE_SCHEMA)
+        parsed = parsed.localCheckpoint(eager=True)  # small (≤ Σk per round); cut lineage
+
+        crawl_log = parsed.select(
+            F.lit(round_no).alias("round"),
+            F.col("rank_in_round").cast("int"),
+            "url", "host", "status", "text", "lang", "n_links",
+            error_class_col().alias("error_class"),
+        )
+
+        # -- discover: explode out-links, first-occurrence dedup ----------
+        exploded = parsed.select(
+            F.col("rank_in_round").alias("parent_rank"),
+            (F.col("depth") + 1).alias("depth"),
+            F.posexplode_outer("links").alias("link_pos", "url"),
+        ).filter(F.col("url").isNotNull())
+        candidates = (
+            exploded.groupBy("url")
+            .agg(F.min(F.struct("parent_rank", "link_pos", "depth")).alias("first"))
+            .select(
+                "url",
+                F.col("first.parent_rank").alias("parent_rank"),
+                F.col("first.link_pos").alias("link_pos"),
+                F.col("first.depth").alias("depth"),
+            )
+            .withColumn("url_hash", url_hash_col("url"))
+            .withColumn("host", url_host_col("url"))
+        )
+        n_candidates = candidates.count()
+
+        shards = None
+        if cfg.use_bloom and n_candidates > 0:
+            shards = build_seen_shards(frontier.select("url_hash"), cfg.bloom)
+        unseen = filter_unseen(candidates, frontier, shards, cfg.bloom)
+
+        new_rows = add_sequence(
+            unseen, [F.col("parent_rank").asc(), F.col("link_pos").asc(), F.col("url_hash").asc()],
+            "discovered_seq", start=next_seq,
+        )
+        new_rows = new_rows.select(
+            "url", "url_hash", "host",
+            F.col("depth").cast("int"),
+            (F.lit(1.0) / (1.0 + F.col("depth"))).alias("priority"),
+            "discovered_seq",
+            F.lit(round_no).alias("discovered_round"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+            F.lit(round_no + 1).alias("next_allowed_round"),
+        )
+
+        # -- frontier state transitions -----------------------------------
+        updated = route_fetch_outcomes(
+            parsed.select(*_FRONTIER_COLS, "status"),
+            round_no, cfg.max_attempts, cfg.retry_backoff_rounds,
+        ).select(*_FRONTIER_COLS)
+        new_frontier = merge_upsert(frontier, updated, "url_hash").unionByName(new_rows)
+
+        # -- lineage counters (A2: per-host per-round) ---------------------
+        sched = parsed.groupBy("host").agg(
+            F.count("*").alias("scheduled"),
+            F.sum((F.col("status") == 200).cast("long")).alias("fetched"),
+            F.sum((F.col("status") == 200).cast("long")).alias("parsed"),
+            F.sum((F.col("status") != 200).cast("long")).alias("errors"),
+        )
+        discovered = new_rows.groupBy("host").agg(F.count("*").alias("new_urls"))
+        metrics = (
+            sched.join(discovered, "host", "full_outer")
+            .select(
+                F.lit(round_no).alias("round"),
+                "host",
+                *[F.coalesce(c, F.lit(0)).alias(c) for c in ("scheduled", "fetched", "parsed", "errors", "new_urls")],
+            )
+        )
+        n_new = new_rows.count()
+        metrics = metrics.withColumn("dedup_hits", F.lit(0).cast("long"))
+        return new_frontier, crawl_log, metrics, n_selected, next_seq + n_new
+
+    # -- driver loop -------------------------------------------------------
+    def run(self, resume: bool = True) -> dict:
+        store, spark = self.store, self.spark
+        if resume:
+            store.gc_uncommitted()
+            latest = store.latest_round()
+        else:
+            latest = None
+        if latest is None:
+            frontier = self.init_frontier()
+            start_round = 0
+            next_seq = frontier.count()
+        else:
+            frontier = store.read(spark, latest, "frontier")
+            start_round = latest + 1
+            next_seq = int(store.manifest(latest)["meta"]["next_seq"])
+
+        rounds_run = 0
+        for r in range(start_round, self.cfg.max_rounds):
+            new_frontier, crawl_log, metrics, n_sel, next_seq = self.run_round(frontier, r, next_seq)
+            if n_sel == 0:
+                break
+            datasets = {"frontier": new_frontier, "crawl_log": crawl_log, "metrics": metrics}
+            store.write_snapshot(r, datasets, meta={"next_seq": next_seq, "n_selected": n_sel})
+            frontier = store.read(spark, r, "frontier")  # snapshot-backed: O(1) plan per round
+            rounds_run += 1
+
+        final_round = store.latest_round()
+        return {
+            "rounds_run": rounds_run,
+            "final_round": final_round,
+            "next_seq": next_seq,
+            "frontier_size": frontier.count(),
+        }
+
+    # -- readers -------------------------------------------------------------
+    def crawl_log(self) -> DataFrame:
+        paths = [f"{self.store._round_dir(r)}/crawl_log" for r in self.store.rounds()]
+        return self.spark.read.parquet(*paths)
+
+    def metrics(self) -> DataFrame:
+        paths = [f"{self.store._round_dir(r)}/metrics" for r in self.store.rounds()]
+        return self.spark.read.parquet(*paths)
+
+    def frontier(self) -> DataFrame:
+        latest = self.store.latest_round()
+        if latest is None:
+            return self.init_frontier()
+        return self.store.read(self.spark, latest, "frontier")

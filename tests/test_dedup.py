@@ -1,0 +1,70 @@
+"""Dedup operators over a corpus with planted duplicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from borges_spark.operators import dedup as D
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOCS = [
+    (0, BASE),
+    (1, BASE),  # exact dup of 0
+    (2, "  The Quick  brown fox jumps over the lazy dog near the river bank today "),  # ws/case dup
+    (3, BASE.replace("today", "tonight")),  # near dup
+    (4, "completely different text about spark shuffles and parquet files and arrow"),
+    (5, "completely different text about spark shuffles and parquet files and arrows"),  # near dup of 4
+    (6, "unrelated short doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["doc_id"]: r["n_dups"] for r in D.dedup_exact(docs).collect()}
+    assert out[0] == 3  # 0, 1, 2 collapse (normalized)
+    assert 1 not in out and 2 not in out
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) in pairs or (1, 3) in pairs or (2, 3) in pairs
+    assert (4, 5) in pairs
+    assert (0, 6) not in pairs and (4, 6) not in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    tbl = {r["doc_id"]: r["simhash"] for r in D.simhash_table(docs).collect()}
+    assert tbl[0] == tbl[1]  # identical text
+    ham_03 = bin(tbl[0] ^ tbl[3]).count("1")
+    ham_04 = bin(tbl[0] ^ tbl[4]).count("1")
+    assert ham_03 < ham_04  # near dup closer than unrelated
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_neardup_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 6) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, threshold=0.7).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 3) in pairs and pairs[(0, 3)] >= 0.7
+    assert (0, 4) not in pairs
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.999, 0.01, 0.0, 0.0], 0),  # near dup of 0, same bucket
+        (2, [0.0, 1.0, 0.0, 0.0], 0),  # same bucket, not similar
+        (3, [1.0, 0.0, 0.0, 0.0], 1),  # identical to 0 but other bucket -> unseen
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in D.embedding_neardup_pairs(emb, threshold=0.95).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
+    assert (0, 2) not in pairs
+    assert (0, 3) not in pairs  # bucketing bounds candidates by design

@@ -1,0 +1,126 @@
+"""End-to-end crawl equivalence + resume determinism (SURVEY.md §5.3/5.4).
+
+The distributed engine and the single-process reference simulator run
+on the same synthetic web, seeds and politeness budget, and must agree:
+  (a) final URL-seen set exactly,
+  (b) per-round crawl ordering exactly,
+  (c) extracted text byte-equal to the pages.text oracle column.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from borges_spark.operators.politeness import PolitenessConfig
+from borges_spark.plans.checkpoint import SnapshotStore
+from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+from borges_spark.plans.simulator import simulate_crawl
+from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
+
+WEB = WebConfig(n_pages=400, n_hosts=6, out_degree=3, n_seeds=4, hot_frac=0.3)
+POL = PolitenessConfig(default_delay_s=5.0, round_budget_s=60.0)  # k=12/host/round
+
+
+def _setup(spark, tmp_path, order_mode="fifo", fail_every=0, max_rounds=12, use_bloom=True):
+    pages = gen_pages(spark, WEB)
+    seeds = gen_seeds(spark, WEB)
+    cfg = CrawlConfig(
+        max_rounds=max_rounds, order_mode=order_mode, fail_every=fail_every,
+        use_bloom=use_bloom, politeness=POL,
+    )
+    store = SnapshotStore(str(tmp_path / "store"))
+    return CrawlEngine(spark, pages, seeds, store, cfg), pages, seeds
+
+
+def _sim(spark, pages, seeds, order_mode="fifo", fail_every=0, max_rounds=12):
+    page_rows = pages.select("url", "html").collect()
+    pages_d = {r["url"]: bytes(r["html"]) for r in page_rows}
+    seed_rows = [(r["url"], r["seq"]) for r in seeds.collect()]
+    hashes = {
+        r["url"]: r["h"]
+        for r in pages.select("url").withColumn("h", F.xxhash64("url")).collect()
+    }
+    # hashes for URLs that 404 (relative links to missing pages)
+    return pages_d, seed_rows, hashes
+
+
+def _all_url_hashes(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return {r["url"]: r["h"] for r in df.withColumn("h", F.xxhash64("url")).collect()}
+
+
+@pytest.mark.parametrize("order_mode", ["fifo", "priority"])
+def test_engine_matches_simulator(spark, tmp_path, order_mode):
+    engine, pages, seeds = _setup(spark, tmp_path, order_mode=order_mode, fail_every=11)
+    summary = engine.run(resume=False)
+    assert summary["rounds_run"] > 2
+
+    log = engine.crawl_log().orderBy("round", "rank_in_round").collect()
+    frontier = engine.frontier()
+
+    pages_d, seed_rows, _ = _sim(spark, pages, seeds)
+    # simulator needs hashes for every URL it will ever see
+    seen_urls = [r["url"] for r in frontier.select("url").collect()]
+    hashes = _all_url_hashes(spark, seen_urls)
+    sim = simulate_crawl(
+        pages_d, seed_rows, hashes, politeness=POL, order_mode=order_mode,
+        max_rounds=12, fail_every=11,
+    )
+
+    got = [(r["round"], r["rank_in_round"], r["url"], r["status"]) for r in log]
+    want = [(t[0], t[1], t[2], t[3]) for t in sim.crawl_log]
+    assert got == want
+
+    engine_seen = set(seen_urls)
+    assert engine_seen == sim.seen_urls
+
+
+def test_text_byte_identical(spark, tmp_path):
+    engine, pages, _ = _setup(spark, tmp_path)
+    engine.run(resume=False)
+    log = engine.crawl_log().filter(F.col("status") == 200).alias("l")
+    joined = log.join(pages.alias("p"), F.col("l.url") == F.col("p.url"), "inner")
+    n_mismatch = joined.filter(F.col("l.text") != F.col("p.text")).count()
+    n_ok = joined.count()
+    assert n_ok > 0
+    assert n_mismatch == 0
+
+
+def test_resume_determinism(spark, tmp_path):
+    # uninterrupted run
+    engine_a, _, _ = _setup(spark, tmp_path / "a", max_rounds=8)
+    engine_a.run(resume=False)
+    log_a = [(r["round"], r["rank_in_round"], r["url"], r["status"])
+             for r in engine_a.crawl_log().orderBy("round", "rank_in_round").collect()]
+
+    # killed after 3 rounds, then resumed
+    engine_b, _, _ = _setup(spark, tmp_path / "b", max_rounds=3)
+    engine_b.run(resume=False)
+    engine_b2, _, _ = _setup(spark, tmp_path / "b", max_rounds=8)
+    engine_b2.run(resume=True)
+    log_b = [(r["round"], r["rank_in_round"], r["url"], r["status"])
+             for r in engine_b2.crawl_log().orderBy("round", "rank_in_round").collect()]
+
+    assert log_a == log_b
+    fa = {r["url"]: (r["state"], r["discovered_seq"]) for r in engine_a.frontier().collect()}
+    fb = {r["url"]: (r["state"], r["discovered_seq"]) for r in engine_b2.frontier().collect()}
+    assert fa == fb
+
+
+def test_bloom_and_exact_paths_agree(spark, tmp_path):
+    engine_a, _, _ = _setup(spark, tmp_path / "bloom", use_bloom=True, max_rounds=5)
+    engine_b, _, _ = _setup(spark, tmp_path / "exact", use_bloom=False, max_rounds=5)
+    engine_a.run(resume=False)
+    engine_b.run(resume=False)
+    la = [(r["round"], r["rank_in_round"], r["url"]) for r in engine_a.crawl_log().orderBy("round", "rank_in_round").collect()]
+    lb = [(r["round"], r["rank_in_round"], r["url"]) for r in engine_b.crawl_log().orderBy("round", "rank_in_round").collect()]
+    assert la == lb
+
+
+def test_metrics_lineage(spark, tmp_path):
+    engine, _, _ = _setup(spark, tmp_path, max_rounds=5)
+    engine.run(resume=False)
+    m = engine.metrics()
+    total_sched = m.agg(F.sum("scheduled")).collect()[0][0]
+    total_log = engine.crawl_log().count()
+    assert total_sched == total_log
+    assert m.filter(F.col("fetched") > F.col("scheduled")).count() == 0

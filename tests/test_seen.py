@@ -1,0 +1,41 @@
+"""Seen-set: Bloom-prefiltered set-difference must equal the exact one."""
+
+from pyspark.sql import functions as F
+
+from borges_spark.operators.seen import BloomConfig, build_seen_shards, filter_unseen
+
+
+def _hashed(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return df.withColumn("url_hash", F.xxhash64("url"))
+
+
+def test_exact_anti_join(spark):
+    seen = _hashed(spark, [f"https://a.com/{i}" for i in range(100)])
+    cand = _hashed(spark, [f"https://a.com/{i}" for i in range(50, 150)])
+    out = filter_unseen(cand, seen, shards=None)
+    got = sorted(r["url"] for r in out.collect())
+    assert got == sorted(f"https://a.com/{i}" for i in range(100, 150))
+
+
+def test_bloom_matches_exact(spark):
+    cfg = BloomConfig(n_shards=4, bits_per_shard=1 << 14, n_hashes=4)
+    seen = _hashed(spark, [f"https://h{i%5}.com/p/{i}" for i in range(500)])
+    cand = _hashed(spark, [f"https://h{i%5}.com/p/{i}" for i in range(250, 900)])
+    shards = build_seen_shards(seen, cfg)
+    with_bloom = sorted(r["url"] for r in filter_unseen(cand, seen, shards, cfg).collect())
+    exact = sorted(r["url"] for r in filter_unseen(cand, seen, None).collect())
+    assert with_bloom == exact
+    assert len(exact) == 400  # 500..899
+
+
+def test_bloom_spill_tier(spark):
+    # tiny filter forces fill > max_fill -> 'exact' tier -> still correct
+    cfg = BloomConfig(n_shards=2, bits_per_shard=256, n_hashes=4, max_fill=0.3)
+    seen = _hashed(spark, [f"https://x.com/{i}" for i in range(300)])
+    cand = _hashed(spark, [f"https://x.com/{i}" for i in range(200, 400)])
+    shards = build_seen_shards(seen, cfg)
+    tiers = {r["tier"] for r in shards.collect()}
+    assert "exact" in tiers
+    got = sorted(r["url"] for r in filter_unseen(cand, seen, shards, cfg).collect())
+    assert got == sorted(f"https://x.com/{i}" for i in range(300, 400))

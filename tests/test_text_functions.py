@@ -1,0 +1,88 @@
+"""Text functions: Spark column vs DuckDB SQL twins must agree exactly."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from borges_spark.functions import text as X
+
+DOCS = [
+    (0, "The quick fox and the lazy dog of the farm"),
+    (1, "el perro de la casa que ladra los martes"),
+    (2, "le chat et la souris est dans les champs"),
+    (3, "der hund ist nicht und die katze"),
+    (4, "zzz qqq xxx"),
+    (5, ""),
+    (6, "  spaced   out\ttext  with\nnewlines  "),
+    (7, "punct!!! lots, of; punct??? ok."),
+    (8, "Smith, John"),
+    (9, "the the the and and of"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def _duck(sql_expr: str):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", DOCS)
+    return dict(con.execute(f"SELECT doc_id, {sql_expr} FROM d").fetchall())
+
+
+def _spark_vals(docs_df, col):
+    return {r["doc_id"]: r["v"] for r in docs_df.select("doc_id", col.alias("v")).collect()}
+
+
+def test_hash60_parity(spark, docs_df):
+    got = _spark_vals(docs_df, X.hash60_col(F.col("text")))
+    want = _duck(X.hash60_sql("text"))
+    assert got == want
+
+
+def test_token_count_parity(spark, docs_df):
+    got = _spark_vals(docs_df, X.token_count_col(F.col("text")))
+    want = _duck(X.token_count_sql("text"))
+    assert got == want
+    assert got[5] == 0
+    assert got[0] == 9
+
+
+def test_lang_id_parity(spark, docs_df):
+    got = _spark_vals(docs_df, X.lang_id_col(F.col("text")))
+    want = _duck(X.lang_id_sql("text"))
+    assert got == want
+    assert got[0] == "en" and got[1] == "es" and got[2] == "fr" and got[3] == "de"
+    assert got[4] == "und"
+
+
+def test_quality_parity(spark, docs_df):
+    got = _spark_vals(docs_df, X.quality_score_col(F.col("text")))
+    want = _duck(X.quality_score_sql("text"))
+    for k in got:
+        assert got[k] == pytest.approx(want[k], abs=1e-9), k
+
+
+def test_fingerprint_parity(spark, docs_df):
+    got = _spark_vals(docs_df, X.fingerprint_col(F.col("text")))
+    want = _duck(X.fingerprint_sql("text"))
+    assert got == want
+    # ws-normalization: 6 equals its collapsed form
+    collapsed = "spaced out text with newlines"
+    one = spark.createDataFrame([(0, collapsed)], "doc_id long, text string")
+    assert _spark_vals(one, X.fingerprint_col(F.col("text")))[0] == got[6]
+
+
+def test_reorder_author_parity(spark, docs_df):
+    got = _spark_vals(docs_df, X.reorder_author_col(F.col("text")))
+    want = _duck(X.reorder_author_sql("text"))
+    assert got == want
+    assert got[8] == "John Smith"
+
+
+def test_zfill_and_ws(spark):
+    df = spark.createDataFrame([(7,), (123,), (4567,)], "v int")
+    got = [r["z"] for r in df.select(X.zfill3_col(F.col("v")).alias("z")).orderBy("z").collect()]
+    assert got == ["007", "123", "4567"]
