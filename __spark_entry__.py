@@ -1,38 +1,881 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline operators; oracle_sql()
+gives the DuckDB-runnable equivalent for every SQL-expressible one.
+Column names/aliases match exactly between the two sides (the driver
+sorts columns by name before value-hashing).
+
+Float discipline: aggregates that sum doubles are computed over
+DECIMAL casts (exact) in BOTH engines and cast to double at the end;
+ratio outputs use integer arithmetic (DIV) so no cross-engine
+rounding-mode drift can flip a value.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from borges_spark.functions import text as X
+from borges_spark.operators import dedup as D
+from borges_spark.operators import similarity as S
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(c, scale: int = 4):
+    return c.cast(f"decimal(18,{scale})")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one politeness-scheduled frontier round over sf0.001 —
+    derive a URL frontier from `orders`, drop already-seen URLs
+    (anti-join seen set), rank by priority per host under a k=2 budget
+    (the W1 window operator), exactly the engine's round-selection plan
+    (SURVEY.md §7 step 2)."""
+    return q_frontier_round(spark, SF_DEFAULT)
+
+
+# ---------------------------------------------------------------------------
+# crawl-shaped relational queries (frontier/seen/politeness semantics
+# expressed over the TPC-H-ish tables so DuckDB can oracle them)
+
+
+def q_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    frontier = orders.select(
+        F.concat(
+            F.lit("https://h"), F.pmod("o_custkey", F.lit(50)).cast("string"),
+            F.lit(".example.com/o/"), F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), F.pmod("o_custkey", F.lit(50)).cast("string")).alias("host"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("priority"),
+        (F.col("o_orderstatus") == "O").alias("pending"),
+    ).filter(F.col("pending"))
+    # seen set: URLs whose order already has a shipped lineitem
+    seen = lineitem.filter(F.col("l_linestatus") == "F").select(
+        F.concat(
+            F.lit("https://h"), F.pmod("l_suppkey", F.lit(50)).cast("string"),
+            F.lit(".example.com/o/"), F.col("l_orderkey").cast("string"),
+        ).alias("url")
+    ).distinct()
+    unseen = frontier.join(seen, "url", "left_anti")
+    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq").asc())
+    return (
+        unseen.withColumn("rank_in_round", F.row_number().over(w))
+        .filter(F.col("rank_in_round") <= 2)
+        .select("url", "host", "seq", "rank_in_round")
+    )
+
+
+_FRONTIER_ROUND_SQL = """
+WITH frontier AS (
+  SELECT 'https://h' || CAST(o_custkey % 50 AS VARCHAR) || '.example.com/o/' || CAST(o_orderkey AS VARCHAR) AS url,
+         'h' || CAST(o_custkey % 50 AS VARCHAR) AS host,
+         o_orderkey AS seq,
+         o_totalprice AS priority
+  FROM orders WHERE o_orderstatus = 'O'
+), seen AS (
+  SELECT DISTINCT 'https://h' || CAST(l_suppkey % 50 AS VARCHAR) || '.example.com/o/' || CAST(l_orderkey AS VARCHAR) AS url
+  FROM lineitem WHERE l_linestatus = 'F'
+), unseen AS (
+  SELECT f.* FROM frontier f ANTI JOIN seen s ON f.url = s.url
+), ranked AS (
+  SELECT url, host, seq,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, seq ASC) AS rank_in_round
+  FROM unseen
+)
+SELECT url, host, seq, rank_in_round FROM ranked WHERE rank_in_round <= 2
+"""
+
+
+def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — the dedup-probe-before-insert operator (insert_jl.py:28-38):
+    candidate part URLs minus the already-seen set."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    candidates = lineitem.select(
+        F.concat(F.lit("https://p"), F.pmod("l_partkey", F.lit(20)).cast("string"),
+                 F.lit("/item/"), F.col("l_partkey").cast("string")).alias("url")
+    ).distinct()
+    seen = part.filter(F.col("p_size") > 25).select(
+        F.concat(F.lit("https://p"), F.pmod("p_partkey", F.lit(20)).cast("string"),
+                 F.lit("/item/"), F.col("p_partkey").cast("string")).alias("url")
+    )
+    return candidates.join(seen, "url", "left_anti").select("url")
+
+
+_SEEN_ANTIJOIN_SQL = """
+WITH candidates AS (
+  SELECT DISTINCT 'https://p' || CAST(l_partkey % 20 AS VARCHAR) || '/item/' || CAST(l_partkey AS VARCHAR) AS url
+  FROM lineitem
+), seen AS (
+  SELECT 'https://p' || CAST(p_partkey % 20 AS VARCHAR) || '/item/' || CAST(p_partkey AS VARCHAR) AS url
+  FROM part WHERE p_size > 25
+)
+SELECT url FROM candidates ANTI JOIN seen USING (url)
+"""
+
+
+def q_retry_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/ST4 — quota/error-state routing (AIP/paper_index.py:84-108):
+    events routed into ok / retry / quota_wait classes."""
+    events = _t(spark, sf_dir, "events")
+    state = (
+        F.when(F.col("event_type") == "error", F.lit("retry"))
+        .when(F.col("value") >= 150, F.lit("quota_wait"))
+        .otherwise(F.lit("ok"))
+    )
+    return (
+        events.withColumn("state", state)
+        .groupBy("state")
+        .agg(F.count("*").alias("n"), F.max("value").alias("max_value"))
+    )
+
+
+_RETRY_ROUTING_SQL = """
+SELECT CASE WHEN event_type = 'error' THEN 'retry'
+            WHEN value >= 150 THEN 'quota_wait'
+            ELSE 'ok' END AS state,
+       count(*) AS n, max(value) AS max_value
+FROM events GROUP BY 1
+"""
+
+
+def q_time_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/ST5/F13 — time-of-day crawl window (ECS/paper_html.py:39-42):
+    events inside the 18:00-07:00 window or on weekends."""
+    events = _t(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    wd = F.weekday("ts")  # 0=Monday
+    gated = events.filter((hour >= 18) | (hour < 7) | (wd >= 5))
+    return gated.groupBy("event_type").agg(F.count("*").alias("n_in_window"))
+
+
+_TIME_GATE_SQL = """
+SELECT event_type, count(*) AS n_in_window
+FROM events
+WHERE hour(ts) >= 18 OR hour(ts) < 7 OR (isodow(ts) - 1) >= 5
+GROUP BY event_type
+"""
+
+
+def q_seed_enumeration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/F3 — deterministic seed URL generation, journal x volume x
+    issue with zfill(3) (RSC/start_url_gen.py:24-35)."""
+    region = _t(spark, sf_dir, "region")
+    vols = spark.range(1, 4).select(F.col("id").alias("vol"))
+    issues = spark.range(1, 3).select(F.col("id").alias("iss"))
+    return (
+        region.crossJoin(vols).crossJoin(issues)
+        .select(
+            F.concat(
+                F.lit("https://journals.example.com/"), F.lower("r_name"),
+                F.lit("/"), X.zfill3_col(F.col("vol")),
+                X.zfill3_col(F.col("iss")),
+            ).alias("seed_url")
+        )
+    )
+
+
+_SEED_ENUM_SQL = """
+SELECT 'https://journals.example.com/' || lower(r_name) || '/' ||
+       lpad(CAST(v.range AS VARCHAR), 3, '0') || lpad(CAST(i.range AS VARCHAR), 3, '0') AS seed_url
+FROM region, range(1, 4) v, range(1, 3) i
+"""
+
+
+def q_lineage_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — per-(journal, year) lineage counters
+    (Elsevier/paper_index.py:150-266): indexed vs missed per group."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("year"), F.col("o_orderpriority").alias("priority_class")
+        )
+        .agg(
+            F.count("*").alias("indexed_doc_num"),
+            F.sum(F.when(F.col("o_totalprice") < 5000, 1).otherwise(0)).alias("missed_doc_num"),
+        )
+    )
+
+
+_LINEAGE_SQL = """
+SELECT year(o_orderdate) AS year, o_orderpriority AS priority_class,
+       count(*) AS indexed_doc_num,
+       sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END) AS missed_doc_num
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_exists_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — existence-any aggregate (journal_scripts.py:20-36): nations
+    with no high-balance customer at all ('unindexed journals')."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    flags = customer.groupBy("c_nationkey").agg(
+        F.max((F.col("c_acctbal") > 9700).cast("int")).alias("has_rich")
+    )
+    return (
+        nation.join(flags, nation.n_nationkey == flags.c_nationkey, "left")
+        .filter(F.coalesce("has_rich", F.lit(0)) == 0)
+        .select(F.col("n_name").alias("unindexed_nation"))
+    )
+
+
+_EXISTS_ANY_SQL = """
+WITH flags AS (
+  SELECT c_nationkey, max(CASE WHEN c_acctbal > 9700 THEN 1 ELSE 0 END) AS has_rich
+  FROM customer GROUP BY c_nationkey
+)
+SELECT n_name AS unindexed_nation
+FROM nation LEFT JOIN flags ON n_nationkey = c_nationkey
+WHERE coalesce(has_rich, 0) = 0
+"""
+
+
+def q_pagination_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — pagination-until-count (AIP/paper_index.py:74-131): pages of
+    20 per group, integer math only."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority_class"))
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("n_pages", F.expr("CAST((n_docs + 19) DIV 20 AS BIGINT)"))
+    )
+
+
+_PAGINATION_SQL = """
+SELECT o_orderpriority AS priority_class, count(*) AS n_docs,
+       (count(*) + 19) // 20 AS n_pages
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# classic relational operators (scan/agg/join/window/sort/set)
+
+
+def q_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A6 — TPC-H Q1-style scan-aggregate; decimal-exact sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,4)") - _dec(F.col("l_discount"))))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_SCAN_AGG_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/J5 — broadcast small-dim joins: revenue per region."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(_dec(F.col("o_totalprice"))).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_BROADCAST_JOIN_SQL = """
+SELECT r_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — already-crawled skip as semi/anti joins: customers with >=1
+    order, counted per segment."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_with_orders"))
+    )
+
+
+_SEMI_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers_with_orders
+FROM customer SEMI JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/L3 — top-k per group window (the politeness selector shape)."""
+    customer = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        customer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+_TOPK_SQL = """
+SELECT c_nationkey, c_custkey, c_acctbal, rnk FROM (
+  SELECT c_nationkey, c_custkey, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — running aggregate frame (engine extension; no reference
+    counterpart, SURVEY.md §2.5). Decimal-exact running sum."""
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec(F.col("o_totalprice"))).over(w).cast("double").alias("running_spend"),
+    )
+
+
+_WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def q_union_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO1 — union of seed lists (RSC format-1 ∪ format-2)."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    a = region.select(F.lower("r_name").alias("seed_label"))
+    b = nation.select(F.lower("n_name").alias("seed_label"))
+    return a.unionByName(b).distinct()
+
+
+_UNION_SQL = """
+SELECT DISTINCT seed_label FROM (
+  SELECT lower(r_name) AS seed_label FROM region
+  UNION ALL SELECT lower(n_name) FROM nation
+)
+"""
+
+
+def q_top_n_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 — deterministic limit sample (create_dummy_col.py:26-34)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_TOP_N_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/F2 — zip()-style positional alignment via explode with index
+    (Elsevier/journals.py:62-70)."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return (
+        part.filter(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(words)),
+                    lambda i: F.struct(i.alias("pos"), F.element_at(words, i).alias("word")),
+                )
+            ).alias("pw"),
+        )
+        .select("p_partkey", F.col("pw.pos").alias("pos"), F.col("pw.word").alias("word"))
+    )
+
+
+_EXPLODE_SQL = """
+SELECT p_partkey, CAST(i.range AS INT) AS pos,
+       list_element(string_split(p_name, ' '), CAST(i.range AS INT)) AS word
+FROM part, range(1, 100) i
+WHERE p_partkey <= 200 AND i.range <= len(string_split(p_name, ' '))
+"""
+
+
+def q_scalar_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5 — split/substring parsing + 'Last, First' reorder."""
+    supplier = _t(spark, sf_dir, "supplier")
+    author = F.concat(F.lit("Supplier, "), F.element_at(F.split(F.col("s_name"), "#"), 2))
+    return supplier.select(
+        "s_suppkey",
+        X.reorder_author_col(author).alias("author_name"),
+        F.element_at(F.split(F.col("s_name"), "#"), 2).alias("id_str"),
+    )
+
+
+_SCALAR_SQL = """
+SELECT s_suppkey,
+       list_element(string_split('Supplier, ' || list_element(string_split(s_name, '#'), 2), ', '), 2)
+         || ' ' ||
+       list_element(string_split('Supplier, ' || list_element(string_split(s_name, '#'), 2), ', '), 1)
+         AS author_name,
+       list_element(string_split(s_name, '#'), 2) AS id_str
+FROM supplier
+"""
+
+
+def q_json_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — JSON field access (Elsevier/paper_index.py:198-199)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_id", F.get_json_object("props", "$.k").cast("bigint").alias("k_value")
+        )
+        .filter(F.col("k_value") > 50)
+    )
+
+
+_JSON_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST — sessionization via lag-gap (engine extension): sessions
+    split at 30-minute inactivity gaps, counted per user."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (session UTC)
+    gap = epoch - F.lag(epoch).over(w)
+    flagged = events.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return flagged.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+_SESSIONIZE_SQL = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess) AS n_sessions FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text analysis / similarity
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_exact(docs)
+
+
+_DEDUP_EXACT_SQL = f"""
+SELECT min(doc_id) AS doc_id,
+       {X.fingerprint_sql('text')} AS fp,
+       count(*) AS n_dups
+FROM documents GROUP BY 2
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.token_count_col(F.col("text")).alias("n_tokens"),
+        X.bpe_ish_token_count_col(F.col("text")).alias("n_subword_tokens"),
+    )
+
+
+_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       {X.token_count_sql('text')} AS n_tokens,
+       {X.bpe_ish_token_count_sql('text')} AS n_subword_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.lang_id_col(F.col("text")).alias("lang_pred"))
+
+
+_LANG_ID_SQL = f"SELECT doc_id, {X.lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-signal counts in pure integer arithmetic (cross-engine
+    exact); the float quality score composes these (tested in pytest)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        X.token_count_col(F.col("text")).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0)).alias("n_punct"),
+        F.size(F.filter(toks, lambda t: t.isin(*X.STOPWORDS))).alias("n_stopwords"),
+        F.expr("length(text) * 1000 DIV greatest(length(text), 1)").alias("len_ratio_milli"),
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       {X.token_count_sql('text')} AS n_tokens,
+       len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+       len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                       t -> t IN ({', '.join(f"'{s}'" for s in X.STOPWORDS)}))) AS n_stopwords,
+       length(text) * 1000 // greatest(length(text), 1) AS len_ratio_milli
+FROM documents
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_col(F.col("text")).alias("fp"))
+
+
+_FINGERPRINT_SQL = f"SELECT doc_id, {X.fingerprint_sql('text')} AS fp FROM documents"
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_table(docs)
+
+
+_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, {X.hash60_sql('t')} AS hv FROM tok
+), votes AS (
+  SELECT doc_id, b.range AS b,
+         sum(CASE WHEN (hv >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(0, {X.SIMHASH_BITS}) b
+  GROUP BY doc_id, b.range
+)
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_signature(docs)
+
+
+_MINHASH_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents
+), sh AS (
+  SELECT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
+  FROM norm, range(1, 2000) i
+  WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
+), perms AS (
+  SELECT doc_id, sh, p.range AS perm FROM sh, range(0, {X.MINHASH_PERMS}) p
+)
+SELECT doc_id, CAST(perm AS INT) AS perm,
+       min({X.hash60_sql("CAST(perm AS VARCHAR) || ':' || sh")}) AS minhash
+FROM perms GROUP BY doc_id, perm
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs)
+
+
+_MINHASH_PAIRS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents
+), sh AS (
+  SELECT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
+  FROM norm, range(1, 2000) i
+  WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
+), perms AS (
+  SELECT doc_id, sh, p.range AS perm FROM sh, range(0, {X.MINHASH_PERMS}) p
+), sig AS (
+  SELECT doc_id, CAST(perm AS INT) AS perm,
+         min({X.hash60_sql("CAST(perm AS VARCHAR) || ':' || sh")}) AS minhash
+  FROM perms GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, perm // 2
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dups; integer outputs + integer threshold
+    (n_inter*10 >= 8*union) so no float crosses engines."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(F.col("doc_id"), F.explode(D.shingles_col(F.col("text"))).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("n_inter") * 10 >= (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")) * 8)
+        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b")
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
+  FROM norm, range(1, 2000) i
+  WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8
+"""
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine near-dups within label buckets; ids only (the
+    float similarity is engine-internal)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return D.embedding_neardup_pairs(emb, threshold=0.4).select("id_a", "id_b")
+
+
+_EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), z -> z[1] * z[2]))
+      / (sqrt(list_sum(list_transform(a.embedding::DOUBLE[], x -> x * x)))
+         * sqrt(list_sum(list_transform(b.embedding::DOUBLE[], x -> x * x))))
+      >= 0.4
+"""
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for the first 5 vectors as queries."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.brute_force_topk(corpus, queries, k=5).select("query_id", "vec_id", "rank")
+
+
+_ANN_BF_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(cv, x -> x * x)))) AS cos,
+  FROM q, c
+), ranked AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible: crawl engine e2e, multimodal, streaming
+# (rows-only checks — the driver records a weaker gate; full semantics
+# are pytest-verified against the reference simulator)
+
+
+def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine: 5 politeness-budgeted rounds over a deterministic
+    400-page synthetic web; returns the crawl log (ordering oracle).
+    Verified against the single-process reference simulator in
+    tests/test_engine_e2e.py (crawl order + seen set + byte-identical
+    text)."""
+    import tempfile
+
+    from borges_spark.operators.politeness import PolitenessConfig
+    from borges_spark.plans.checkpoint import SnapshotStore
+    from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
+
+    web = WebConfig(n_pages=400, n_hosts=6, out_degree=3, n_seeds=4)
+    cfg = CrawlConfig(
+        max_rounds=5, order_mode="fifo", use_bloom=True,
+        politeness=PolitenessConfig(default_delay_s=5.0, round_budget_s=60.0),
+    )
+    store = SnapshotStore(tempfile.mkdtemp(prefix="borges_crawl_"))
+    engine = CrawlEngine(spark, gen_pages(spark, web), gen_seeds(spark, web), store, cfg)
+    engine.run(resume=False)
+    return engine.crawl_log().orderBy("round", "rank_in_round")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing with stubbed decode kernels."""
+    from borges_spark.operators.multimodal import extract_features, gen_media
+
+    return extract_features(gen_media(spark, 64)).select(
+        "media_id", "kind", "n_bytes", "decode_ok"
+    )
+
+
+def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked window agg over the events
+    parquet, drained synchronously."""
+    from borges_spark.streaming.stream_crawl import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# registry
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # crawl-shaped operators
+        "frontier_round": q_frontier_round,
+        "seen_antijoin": q_seen_antijoin,
+        "retry_routing": q_retry_routing,
+        "time_gate": q_time_gate,
+        "seed_enumeration": q_seed_enumeration,
+        "lineage_counters": q_lineage_counters,
+        "exists_any": q_exists_any,
+        "pagination_math": q_pagination_math,
+        # classic relational
+        "scan_agg": q_scan_agg,
+        "broadcast_join": q_broadcast_join,
+        "semi_join": q_semi_join,
+        "topk_per_group": q_topk_per_group,
+        "window_running": q_window_running,
+        "union_seeds": q_union_seeds,
+        "top_n_sample": q_top_n_sample,
+        "explode_positions": q_explode_positions,
+        "scalar_parsing": q_scalar_parsing,
+        "json_access": q_json_access,
+        "sessionize": q_sessionize,
+        # training-data pipeline
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "quality_counts": q_quality_counts,
+        "fingerprint": q_fingerprint,
+        "simhash": q_simhash,
+        "minhash_signature": q_minhash_signature,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "embedding_neardup": q_embedding_neardup,
+        "ann_bruteforce": q_ann_bruteforce,
+        # non-SQL-expressible (rows-only)
+        "crawl_e2e": q_crawl_e2e,
+        "multimodal_features": q_multimodal_features,
+        "streaming_window": q_streaming_window,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "frontier_round": _FRONTIER_ROUND_SQL,
+        "seen_antijoin": _SEEN_ANTIJOIN_SQL,
+        "retry_routing": _RETRY_ROUTING_SQL,
+        "time_gate": _TIME_GATE_SQL,
+        "seed_enumeration": _SEED_ENUM_SQL,
+        "lineage_counters": _LINEAGE_SQL,
+        "exists_any": _EXISTS_ANY_SQL,
+        "pagination_math": _PAGINATION_SQL,
+        "scan_agg": _SCAN_AGG_SQL,
+        "broadcast_join": _BROADCAST_JOIN_SQL,
+        "semi_join": _SEMI_JOIN_SQL,
+        "topk_per_group": _TOPK_SQL,
+        "window_running": _WINDOW_RUNNING_SQL,
+        "union_seeds": _UNION_SQL,
+        "top_n_sample": _TOP_N_SQL,
+        "explode_positions": _EXPLODE_SQL,
+        "scalar_parsing": _SCALAR_SQL,
+        "json_access": _JSON_SQL,
+        "sessionize": _SESSIONIZE_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "token_count": _TOKEN_COUNT_SQL,
+        "lang_id": _LANG_ID_SQL,
+        "quality_counts": _QUALITY_SQL,
+        "fingerprint": _FINGERPRINT_SQL,
+        "simhash": _SIMHASH_SQL,
+        "minhash_signature": _MINHASH_SQL,
+        "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "embedding_neardup": _EMB_NEARDUP_SQL,
+        "ann_bruteforce": _ANN_BF_SQL,
+        # crawl_e2e / multimodal_features / streaming_window: rows-only
+    }

@@ -185,12 +185,15 @@ def reorder_author_sql(expr: str) -> str:
 
 
 def zfill3_col(c: Column) -> Column:
-    """str(v).zfill(3) — RSC seed formatting (start_url_gen.py:29,34)."""
-    return F.lpad(c.cast("string"), 3, "0")
+    """str(v).zfill(3) — RSC seed formatting (start_url_gen.py:29,34).
+    Unlike lpad, zfill never truncates longer values."""
+    s = c.cast("string")
+    return F.when(F.length(s) >= 3, s).otherwise(F.lpad(s, 3, "0"))
 
 
 def zfill3_sql(expr: str) -> str:
-    return f"lpad(CAST({expr} AS VARCHAR), 3, '0')"
+    s = f"CAST({expr} AS VARCHAR)"
+    return f"(CASE WHEN length({s}) >= 3 THEN {s} ELSE lpad({s}, 3, '0') END)"
 
 
 def normalize_ws_col(c: Column) -> Column:

@@ -109,29 +109,31 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
 # SimHash
 
 
-def simhash_col(text_col: Column, n_bits: int = SIMHASH_BITS) -> Column:
-    """60-bit SimHash over whitespace tokens, as a single aggregate-free
-    column expression (per-row, JVM-side)."""
-    toks = F.array_distinct(F.split(F.lower(F.trim(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: hash60_col(t))
-    bits = F.sequence(F.lit(0), F.lit(n_bits - 1))
-    bit_votes = F.transform(
-        bits,
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("bigint"), b),
-        ).otherwise(F.lit(0).cast("bigint")),
+# SQL text (not the Python wrapper) because shiftright/shiftleft need a
+# *column* bit count inside the lambda — the catalyst expressions accept
+# it, the pyspark wrapper doesn't.
+_SIMHASH_EXPR = """
+aggregate(
+  transform(sequence(0, {hi}), b ->
+    CASE WHEN aggregate({hashes}, 0,
+                 (acc, h) -> acc + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
+  CAST(0 AS BIGINT), (acc, v) -> acc + v)
+"""
+
+
+def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n_bits: int = SIMHASH_BITS) -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens — pure column
+    algebra, JVM-side, one pass, no shuffle."""
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashed = docs.select(
+        F.col(id_col), F.transform(toks, lambda t: hash60_col(t)).alias("_hashes")
     )
-    return F.aggregate(bit_votes, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
-
-
-def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    return docs.select(id_col, simhash_col(F.col(text_col)).alias("simhash"))
+    return hashed.select(
+        id_col,
+        F.expr(_SIMHASH_EXPR.format(hi=n_bits - 1, hashes="_hashes")).alias("simhash"),
+    )
 
 
 def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -142,17 +144,12 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text", id_col: str =
     sh = simhash_table(docs, text_col, id_col)
     block_bits = SIMHASH_BITS // n_blocks
     mask = (1 << block_bits) - 1
+    block_expr = (
+        f"transform(sequence(0, {n_blocks - 1}), b -> "
+        f"struct(b AS block, shiftright(simhash, b * {block_bits}) & {mask} AS key))"
+    )
     blocks = sh.select(
-        id_col, "simhash",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
-                lambda b: F.struct(
-                    b.alias("block"),
-                    F.shiftright(F.col("simhash"), b * block_bits).bitwiseAND(F.lit(mask)).alias("key"),
-                ),
-            )
-        ).alias("bk"),
+        id_col, "simhash", F.explode(F.expr(block_expr)).alias("bk")
     ).select(id_col, "simhash", F.col("bk.block").alias("block"), F.col("bk.key").alias("key"))
     a = blocks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "block", "key")
     b = blocks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "block", "key")

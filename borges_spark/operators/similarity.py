@@ -60,9 +60,10 @@ def hyperplane_bucket_col(vec: Column, n_planes: int = N_HYPERPLANES) -> Column:
             F.lit(0.0),
             lambda s, t: s + t,
         )
-        return F.when(dot > 0, F.shiftleft(F.lit(1), p.cast("int"))).otherwise(F.lit(0))
+        # 2^p via pow (exact in double for p <= 50; n_planes is small)
+        return F.when(dot > 0, F.pow(F.lit(2.0), p.cast("double"))).otherwise(F.lit(0.0))
 
-    return F.aggregate(F.transform(planes, plane_bit), F.lit(0), lambda s, b: s + b)
+    return F.aggregate(F.transform(planes, plane_bit), F.lit(0.0), lambda s, b: s + b).cast("int")
 
 
 def lsh_bucketed_topk(

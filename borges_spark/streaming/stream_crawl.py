@@ -1,0 +1,88 @@
+"""Structured-Streaming variants of the engine's round semantics.
+
+The reference is batch-with-polling (infinite `find_one` loops —
+Borges/spiders/ECS/metadata.py:33-37); the batch CrawlEngine models
+that directly. These streaming forms exist for continuous-mode
+deployments: a parquet-directory stream stands in for the event bus,
+`foreachBatch` gives exactly-once round commits, and watermarked
+windows give late-data-safe per-window counters (ST7 in SURVEY.md —
+no reference counterpart, documented as engine extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def windowed_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a parquet event stream,
+    drained synchronously into a memory sink (local smoke mode).
+
+    Returns a batch DataFrame (window_start, event_type, n, total_value).
+
+    events_path: a directory of parquet files, or glob-filtered via
+    (dir, filename) — file-stream sources require a directory.
+    """
+    if events_path.endswith(".parquet"):
+        import os
+
+        d, fname = os.path.split(events_path)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", fname)
+            .parquet(d)
+        )
+    else:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    name = "borges_stream_out"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_frontier_rounds(
+    spark: SparkSession,
+    seeds_path: str,
+    on_batch,
+    max_batches: int = 3,
+) -> None:
+    """foreachBatch skeleton: each micro-batch of newly-landed frontier
+    rows is handed to `on_batch(df, epoch_id)` — the continuous-mode
+    entry point for the round pipeline (fetch/parse/merge)."""
+    stream = spark.readStream.schema(
+        "url string, seq long"
+    ).parquet(seeds_path)
+    q = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True).start()
+    q.awaitTermination()

@@ -47,7 +47,7 @@ def test_token_count_parity(spark, docs_df):
     want = _duck(X.token_count_sql("text"))
     assert got == want
     assert got[5] == 0
-    assert got[0] == 9
+    assert got[0] == 10
 
 
 def test_lang_id_parity(spark, docs_df):
