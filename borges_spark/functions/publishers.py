@@ -1,0 +1,298 @@
+"""Per-publisher article extractors — the parse-fidelity layer.
+
+Behavioral re-implementations (NOT ports) of the reference's extraction
+semantics, as pure functions wrapped in Arrow-batched mapInPandas. The
+frozen semantics and their sources:
+
+  - JATS XML (IOP `article_xml_extractor.py`, Springer
+    `SpringerXMLDataExtractor.py`):
+      * DOI from article-id[@pub-id-type='doi'] (IOP :86-93); missing
+        DOI -> abort row with note (Springer :96-104)
+      * title: strip tex-math/xref/fn sub-elements, join itertext,
+        drop newlines, collapse whitespace (IOP :163-201)
+      * abstract: reject summary-marker abstracts with Highlight/Figure
+        exceptions (IOP :296-323), strip leading 'Abstract' title and
+        inline formulas, strip the ECS copyright notice (IOP :354-362)
+      * authors: 'Last, First' -> 'First Last' (Springer :203-204);
+        drop CJK-only parenthetical duplicates (IOP :203-277)
+      * journal: journal-title -> publisher-id fallback (IOP :96-115)
+      * issn: ppub -> epub fallback (IOP :117-136); year likewise
+        (IOP :146-161)
+      * contains_body: <body> presence with non-empty text
+        (IOP :370-386)
+  - ECS HTML (`ECS/metadata.py:41-67`, `ECS/paper_html.py:50`):
+      * DOI from the .slug-doi element, title from citation_title,
+        open-access from an OA marker element, full text from
+        div.article.fulltext-view
+
+Implemented with stdlib re + xml.etree (lxml is not in this image);
+all called through mapInPandas so Python cost is Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from collections.abc import Iterator
+
+import pandas as pd
+
+from borges_spark.functions.html import decode_html
+
+# CJK unicode ranges (the reference's 14-range table,
+# IOP article_xml_extractor.py:34-49)
+CJK_RANGES = [
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0x20000, 0x2A6DF), (0x2A700, 0x2B73F),
+    (0x2B740, 0x2B81F), (0x2B820, 0x2CEAF), (0xF900, 0xFAFF), (0x2F800, 0x2FA1F),
+    (0x3040, 0x309F), (0x30A0, 0x30FF), (0xAC00, 0xD7AF), (0x1100, 0x11FF),
+    (0x3130, 0x318F), (0xA960, 0xA97F),
+]
+
+# abstract summary markers (IOP article_xml_extractor.py:296-323):
+# abstracts that are really section summaries are rejected, except the
+# Highlight/Figure exceptions
+SUMMARY_MARKERS = [
+    "Synopsis", "Key points", "Key Points", "Summary", "Teaser",
+    "Graphical abstract", "Lay description", "Abbreviations",
+    "Editor's Note", "Plain Language Summary", "Novelty statement",
+    "Significance Statement", "Research Highlights",
+]
+MARKER_EXCEPTIONS = ["Highlight", "Figure"]
+
+ECS_COPYRIGHT = (
+    "This article is available under the terms of the IOP-Standard License."
+)
+
+STRIP_TAGS = {"tex-math", "xref", "fn"}
+
+PAPER_SCHEMA = (
+    "doc_id string, publisher string, doi string, title string, abstract string, "
+    "authors array<string>, journal string, issn string, issue string, "
+    "published_year int, open_access boolean, full_text string, "
+    "contains_body boolean, notes array<string>"
+)
+
+
+def is_cjk_char(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in CJK_RANGES)
+
+
+def is_cjk_only(s: str) -> bool:
+    letters = [c for c in s if c.isalpha()]
+    return bool(letters) and all(is_cjk_char(c) for c in letters)
+
+
+def has_cjk(s: str) -> bool:
+    return any(is_cjk_char(c) for c in s)
+
+
+def _ns_strip(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _itertext_stripped(elem: ET.Element) -> str:
+    """itertext-join after removing the strip-tag sub-elements, then
+    newline removal + whitespace collapse (IOP :163-201 semantics)."""
+    clone = _strip_elements(elem)
+    txt = "".join(clone.itertext())
+    txt = txt.replace("\n", " ")
+    return " ".join(txt.split())
+
+
+def _strip_elements(elem: ET.Element, tags: set[str] = STRIP_TAGS) -> ET.Element:
+    """Remove sub-elements but keep their tail text (the reference's
+    lxml strip_elements(..., with_tail=False) behavior — removing a
+    child in ElementTree would otherwise drop the text after it)."""
+    import copy
+
+    clone = copy.deepcopy(elem)
+    for parent in clone.iter():
+        children = list(parent)
+        for idx, child in enumerate(children):
+            if _ns_strip(child.tag) in tags:
+                tail = child.tail or ""
+                prev = None
+                for j in range(idx - 1, -1, -1):
+                    if children[j] in list(parent):
+                        prev = children[j]
+                        break
+                if prev is not None:
+                    prev.tail = (prev.tail or "") + tail
+                else:
+                    parent.text = (parent.text or "") + tail
+                parent.remove(child)
+    return clone
+
+
+def _find(root: ET.Element, path_tail: str) -> ET.Element | None:
+    for e in root.iter():
+        if _ns_strip(e.tag) == path_tail:
+            return e
+    return None
+
+
+def _findall(root: ET.Element, tag: str) -> list[ET.Element]:
+    return [e for e in root.iter() if _ns_strip(e.tag) == tag]
+
+
+def reorder_author(name: str) -> str:
+    parts = name.split(", ")
+    if len(parts) == 2:
+        return f"{parts[1]} {parts[0]}"
+    return name
+
+
+def _abstract_ok(text: str) -> bool:
+    for marker in SUMMARY_MARKERS:
+        if marker in text and not any(ex in text for ex in MARKER_EXCEPTIONS):
+            return False
+    return True
+
+
+def extract_jats(doc_id: str, raw: bytes, publisher: str = "IOP") -> dict:
+    """One JATS XML document -> a PAPER_SCHEMA dict."""
+    notes: list[str] = []
+    out = {
+        "doc_id": doc_id, "publisher": publisher, "doi": None, "title": None,
+        "abstract": None, "authors": None, "journal": None, "issn": None,
+        "issue": None, "published_year": None, "open_access": None,
+        "full_text": None, "contains_body": False, "notes": notes,
+    }
+    try:
+        root = ET.fromstring(decode_html(raw))
+    except ET.ParseError as ex:
+        notes.append(f"parse_error: {ex}")
+        return out
+
+    # DOI — abort row with a note when missing (Springer :96-104)
+    for aid in _findall(root, "article-id"):
+        if aid.get("pub-id-type") == "doi" and (aid.text or "").strip():
+            out["doi"] = aid.text.strip()
+            break
+    if out["doi"] is None:
+        notes.append("missing_doi")
+        return out
+
+    # journal: journal-title -> publisher-id fallback (IOP :96-115)
+    jt = _find(root, "journal-title")
+    if jt is not None and (jt.text or "").strip():
+        out["journal"] = jt.text.strip()
+    else:
+        for jid in _findall(root, "journal-id"):
+            if jid.get("journal-id-type") == "publisher-id" and (jid.text or "").strip():
+                out["journal"] = jid.text.strip()
+                notes.append("journal_from_publisher_id")
+                break
+
+    # issn: ppub preferred, epub fallback (IOP :117-136)
+    issns = {i.get("pub-type"): (i.text or "").strip() for i in _findall(root, "issn")}
+    out["issn"] = issns.get("ppub") or issns.get("epub") or None
+
+    # year: ppub -> epub fallback (IOP :146-161)
+    for want in ("ppub", "epub"):
+        for pd_el in _findall(root, "pub-date"):
+            if pd_el.get("pub-type") == want:
+                y = _find(pd_el, "year")
+                if y is not None and (y.text or "").strip().isdigit():
+                    out["published_year"] = int(y.text.strip())
+                    break
+        if out["published_year"] is not None:
+            break
+
+    iss = _find(root, "issue")
+    if iss is not None and (iss.text or "").strip():
+        out["issue"] = iss.text.strip()
+
+    # title: strip + itertext + ws-collapse (IOP :163-201)
+    title_el = _find(root, "article-title")
+    if title_el is not None:
+        out["title"] = _itertext_stripped(title_el) or None
+
+    # authors: Last, First -> First Last; drop CJK-only variants
+    authors: list[str] = []
+    for contrib in _findall(root, "contrib"):
+        surname = _find(contrib, "surname")
+        given = _find(contrib, "given-names")
+        if surname is None:
+            continue
+        sn = (surname.text or "").strip()
+        gn = (given.text or "").strip() if given is not None else ""
+        if is_cjk_only(sn) and (not gn or is_cjk_only(gn)):
+            notes.append("cjk_only_author_dropped")
+            continue
+        authors.append(reorder_author(f"{sn}, {gn}") if gn else sn)
+    out["authors"] = authors or None
+
+    # abstract: marker filter, title strip, formula strip, (c) strip
+    abs_el = _find(root, "abstract")
+    if abs_el is not None:
+        clone = _strip_elements(abs_el, STRIP_TAGS | {"title", "inline-formula"})
+        text = " ".join("".join(clone.itertext()).replace("\n", " ").split())
+        text = text.replace(ECS_COPYRIGHT, "").strip()
+        if text and _abstract_ok(text):
+            out["abstract"] = text
+        elif text:
+            notes.append("abstract_rejected_summary_marker")
+
+    # body (IOP :370-386)
+    body = _find(root, "body")
+    if body is not None:
+        ft = _itertext_stripped(body)
+        out["contains_body"] = bool(ft)
+        out["full_text"] = ft or None
+    return out
+
+
+# --- ECS-style HTML extraction (regex CSS-lite; ECS/metadata.py:41-67) ----
+
+_DOI_RE = re.compile(r'class="slug-doi"[^>]*>([^<]+)<')
+_TITLE_RE = re.compile(r'<meta\s+name="citation_title"\s+content="([^"]*)"')
+_OA_RE = re.compile(r'class="open-access-marker"')
+_FULLTEXT_RE = re.compile(
+    r'<div class="article fulltext-view">(.*?)</div>', re.DOTALL
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_ecs_html(doc_id: str, raw: bytes) -> dict:
+    html = decode_html(raw)
+    notes: list[str] = []
+    doi_m = _DOI_RE.search(html)
+    title_m = _TITLE_RE.search(html)
+    ft_m = _FULLTEXT_RE.search(html)
+    full_text = None
+    if ft_m:
+        full_text = " ".join(_TAG_RE.sub(" ", ft_m.group(1)).split()) or None
+    if not doi_m:
+        notes.append("missing_doi")
+    return {
+        "doc_id": doc_id, "publisher": "ECS",
+        "doi": doi_m.group(1).strip() if doi_m else None,
+        "title": title_m.group(1).strip() if title_m else None,
+        "abstract": None, "authors": None, "journal": None, "issn": None,
+        "issue": None, "published_year": None,
+        "open_access": bool(_OA_RE.search(html)),
+        "full_text": full_text,
+        "contains_body": full_text is not None,
+        "notes": notes,
+    }
+
+
+def parse_documents(df, fmt_col: str = "fmt"):
+    """mapInPandas driver: (doc_id, publisher, fmt, body) -> PAPER_SCHEMA."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, publisher, fmt, body in zip(
+                pdf["doc_id"], pdf["publisher"], pdf[fmt_col], pdf["body"]
+            ):
+                raw = bytes(body) if body is not None else b""
+                if fmt == "jats_xml":
+                    rows.append(extract_jats(str(doc_id), raw, publisher))
+                else:
+                    rows.append(extract_ecs_html(str(doc_id), raw))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, PAPER_SCHEMA)

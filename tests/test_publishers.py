@@ -1,0 +1,131 @@
+"""Golden parser fixtures (FIXTURES.md §9): the required cases —
+missing DOI, CJK-only author, summary-marker abstract, copyright strip,
+title tag-strip, fallback chains, ECS HTML full-text."""
+
+import pytest
+
+from borges_spark.functions.publishers import (
+    extract_ecs_html,
+    extract_jats,
+    has_cjk,
+    is_cjk_only,
+    parse_documents,
+    reorder_author,
+)
+
+JATS_FULL = b"""<?xml version="1.0"?>
+<article>
+ <front>
+  <journal-meta>
+   <journal-id journal-id-type="publisher-id">jpd</journal-id>
+   <journal-title-group><journal-title>Journal of Physics D</journal-title></journal-title-group>
+   <issn pub-type="ppub">0022-3727</issn>
+   <issn pub-type="epub">1361-6463</issn>
+  </journal-meta>
+  <article-meta>
+   <article-id pub-id-type="doi">10.1000/jpd.2020.123</article-id>
+   <title-group><article-title>Growth of <tex-math>x^2</tex-math>thin films<xref>1</xref> on substrates</article-title></title-group>
+   <contrib-group>
+    <contrib><surname>Smith</surname><given-names>Jane</given-names></contrib>
+    <contrib><surname>Tanaka</surname><given-names>Ken</given-names></contrib>
+   </contrib-group>
+   <pub-date pub-type="ppub"><year>2020</year></pub-date>
+   <issue>7</issue>
+   <abstract><title>Abstract</title><p>We grow thin films.
+   This article is available under the terms of the IOP-Standard License.</p></abstract>
+  </article-meta>
+ </front>
+ <body><p>Full text body here.</p></body>
+</article>"""
+
+JATS_NO_DOI = b"""<article><front><article-meta>
+ <title-group><article-title>No DOI here</article-title></title-group>
+</article-meta></front></article>"""
+
+JATS_FALLBACKS = b"""<article><front>
+ <journal-meta>
+  <journal-id journal-id-type="publisher-id">fallback-j</journal-id>
+  <issn pub-type="epub">9999-0001</issn>
+ </journal-meta>
+ <article-meta>
+  <article-id pub-id-type="doi">10.1/fb</article-id>
+  <pub-date pub-type="epub"><year>2019</year></pub-date>
+  <contrib-group>
+   <contrib><surname>\xe5\xb1\xb1\xe7\x94\xb0</surname><given-names>\xe5\xa4\xaa\xe9\x83\x8e</given-names></contrib>
+   <contrib><surname>Lee</surname><given-names>Min</given-names></contrib>
+  </contrib-group>
+  <abstract><p>Synopsis of the chapter only.</p></abstract>
+ </article-meta></front></article>"""
+
+ECS_HTML = b"""<html><head>
+<meta name="citation_title" content="An ECS Paper">
+</head><body>
+<span class="slug-doi">10.1149/2.001</span>
+<span class="open-access-marker"></span>
+<div class="article fulltext-view"><p>Intro text.</p><p>More text.</p></div>
+</body></html>"""
+
+
+def test_jats_full():
+    r = extract_jats("d1", JATS_FULL)
+    assert r["doi"] == "10.1000/jpd.2020.123"
+    assert r["title"] == "Growth of thin films on substrates"  # tex-math/xref stripped
+    assert r["journal"] == "Journal of Physics D"
+    assert r["issn"] == "0022-3727"  # ppub preferred
+    assert r["published_year"] == 2020
+    assert r["issue"] == "7"
+    assert r["authors"] == ["Jane Smith", "Ken Tanaka"]
+    assert r["abstract"] == "We grow thin films."  # copyright + title stripped
+    assert r["contains_body"] is True
+    assert r["full_text"] == "Full text body here."
+
+
+def test_jats_missing_doi_aborts():
+    r = extract_jats("d2", JATS_NO_DOI)
+    assert r["doi"] is None
+    assert "missing_doi" in r["notes"]
+    assert r["title"] is None  # abort: nothing else extracted
+
+
+def test_jats_fallbacks_cjk_and_marker():
+    r = extract_jats("d3", JATS_FALLBACKS)
+    assert r["journal"] == "fallback-j"
+    assert "journal_from_publisher_id" in r["notes"]
+    assert r["issn"] == "9999-0001"  # epub fallback
+    assert r["published_year"] == 2019  # epub fallback
+    assert r["authors"] == ["Min Lee"]  # CJK-only author dropped
+    assert "cjk_only_author_dropped" in r["notes"]
+    assert r["abstract"] is None  # summary marker rejected
+    assert "abstract_rejected_summary_marker" in r["notes"]
+
+
+def test_ecs_html():
+    r = extract_ecs_html("e1", ECS_HTML)
+    assert r["doi"] == "10.1149/2.001"
+    assert r["title"] == "An ECS Paper"
+    assert r["open_access"] is True
+    assert r["full_text"] == "Intro text. More text."
+    assert r["contains_body"] is True
+
+
+def test_cjk_helpers():
+    assert is_cjk_only("山田")
+    assert not is_cjk_only("Smith")
+    assert not is_cjk_only("山田 Smith")
+    assert has_cjk("x 山 y")
+    assert reorder_author("Smith, Jane") == "Jane Smith"
+    assert reorder_author("Madonna") == "Madonna"
+
+
+def test_parse_documents_spark(spark):
+    rows = [
+        ("d1", "IOP", "jats_xml", bytearray(JATS_FULL)),
+        ("d2", "IOP", "jats_xml", bytearray(JATS_NO_DOI)),
+        ("e1", "ECS", "html", bytearray(ECS_HTML)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, publisher string, fmt string, body binary")
+    out = {r["doc_id"]: r for r in parse_documents(df).collect()}
+    assert out["d1"]["doi"] == "10.1000/jpd.2020.123"
+    assert out["d1"]["authors"] == ["Jane Smith", "Ken Tanaka"]
+    assert out["d2"]["doi"] is None and "missing_doi" in out["d2"]["notes"]
+    assert out["e1"]["full_text"] == "Intro text. More text."
