@@ -782,6 +782,51 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.crawl_log().orderBy("round", "rank_in_round")
 
 
+def q_publisher_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-publisher extraction (F9/F10): JATS XML + ECS HTML fixtures
+    through the Arrow-batched parser; golden-value tests live in
+    tests/test_publishers.py."""
+    from borges_spark.functions.publishers import parse_documents
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # wrap each document's text in a deterministic JATS envelope
+    xml = F.concat(
+        F.lit("<article><front><article-meta>"
+              "<article-id pub-id-type=\"doi\">10.5555/doc."),
+        F.col("doc_id").cast("string"),
+        F.lit("</article-id><title-group><article-title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</article-title></title-group>"
+              "<pub-date pub-type=\"ppub\"><year>2021</year></pub-date>"
+              "<abstract><p>"),
+        F.col("text"),
+        F.lit("</p></abstract></article-meta></front><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></article>"),
+    )
+    wrapped = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("SYN").alias("publisher"),
+        F.lit("jats_xml").alias("fmt"),
+        F.encode(xml, "UTF-8").alias("body"),
+    )
+    return parse_documents(wrapped).select(
+        "doc_id", "doi", "title", "published_year", "contains_body"
+    )
+
+
+# the synthetic envelope makes the parse output SQL-predictable, so the
+# extractor gets a real value-hash oracle, not just a rows-only check
+_PUBLISHER_PARSE_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '10.5555/doc.' || CAST(doc_id AS VARCHAR) AS doi,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       2021 AS published_year,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) <> '' AS contains_body
+FROM documents WHERE doc_id < 50
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing with stubbed decode kernels."""
     from borges_spark.operators.multimodal import extract_features, gen_media
@@ -839,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         # non-SQL-expressible (rows-only)
+        "publisher_parse": q_publisher_parse,
         "crawl_e2e": q_crawl_e2e,
         "multimodal_features": q_multimodal_features,
         "streaming_window": q_streaming_window,
@@ -877,5 +923,6 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_bruteforce": _ANN_BF_SQL,
+        "publisher_parse": _PUBLISHER_PARSE_SQL,
         # crawl_e2e / multimodal_features / streaming_window: rows-only
     }

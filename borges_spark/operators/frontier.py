@@ -15,23 +15,59 @@ from pyspark.sql import types as T
 
 
 def add_sequence(df: DataFrame, order_cols: list, col_name: str, start: int = 0) -> DataFrame:
-    """Assign a dense global sequence in `order_cols` order, distributed.
+    """Assign a dense global sequence in `order_cols` order, distributed
+    and Arrow-only (no per-row Python, no single-partition window).
 
-    Implementation: global range-sort, then zipWithIndex over the sorted
-    partitions. The assigned numbers depend only on the total order of
-    the rows — not on partition boundaries or core count — so the
-    sequence is identical at local[8] and local[32] (and N vs 4N
-    executors), which the determinism contract requires. This avoids the
-    single-partition `Window.orderBy()` trap that would serialize a
-    10^10-row frontier onto one task.
+    Two passes over a pinned global range-sort:
+      1. count rows per sorted partition (tiny collect: one row per
+         partition) -> cumulative offsets, broadcast;
+      2. mapInPandas assigns offset[pid] + within-partition position,
+         accumulated across the partition's Arrow batches.
+
+    The assigned numbers depend only on the total order of the rows —
+    not on partition boundaries or core count — so the sequence is
+    identical at local[8] and local[32] (and N vs 4N executors), which
+    the determinism contract requires. localCheckpoint pins the range
+    boundaries so both passes see the same partitioning.
     """
     spark = df.sparkSession
-    sorted_df = df.repartitionByRange(max(df.rdd.getNumPartitions(), 1), *order_cols).sortWithinPartitions(
-        *order_cols
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    sorted_df = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    schema = T.StructType(sorted_df.schema.fields + [T.StructField(col_name, T.LongType(), False)])
-    indexed = sorted_df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1] + start))
-    return spark.createDataFrame(indexed, schema)
+    counts = {r["_pid"]: r["cnt"] for r in sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets: dict[int, int] = {}
+    acc = start
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    out_schema = T.StructType(
+        [f for f in sorted_df.schema.fields if f.name != "_pid"]
+        + [T.StructField(col_name, T.LongType(), False)]
+    )
+
+    def assign(it):
+        pos = 0
+        base = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if base is None:
+                base = bc.value[int(pdf["_pid"].iloc[0])]
+            import numpy as np
+
+            seqs = base + pos + np.arange(len(pdf), dtype="int64")
+            pos += len(pdf)
+            out = pdf.drop(columns=["_pid"]).copy()
+            out[col_name] = seqs
+            yield out
+
+    return sorted_df.mapInPandas(assign, out_schema)
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:

@@ -85,6 +85,40 @@ def build_seen_shards(seen_hashes: DataFrame, cfg: BloomConfig = BloomConfig()) 
     )
 
 
+def merge_seen_shards(
+    old: DataFrame | None,
+    additions: DataFrame,
+    cfg: BloomConfig = BloomConfig(),
+) -> DataFrame:
+    """Incrementally fold new url_hashes into existing shards: build
+    shards for the additions, union with the old rows, bitwise-OR per
+    shard (distributed applyInPandas — one row per shard). Cost is
+    O(additions + n_shards), not O(total seen set) — the property that
+    keeps per-round work constant as the frontier grows to 10^10."""
+    new = build_seen_shards(additions, cfg)
+    if old is None:
+        return new
+    both = old.unionByName(new)
+
+    def _or(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["shard"].iloc[0])
+        bits = np.zeros(cfg.bits_per_shard // _WORD_BITS, dtype=np.uint64)
+        for blob in pdf["bloom_bits"]:
+            bits |= np.frombuffer(blob, dtype=np.uint64)
+        fill = float(np.unpackbits(bits.view(np.uint8)).mean())
+        tier = "exact" if (fill > cfg.max_fill or (pdf["tier"] == "exact").any()) else "bloom"
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "tier": [tier],
+                "n_urls": [int(pdf["n_urls"].sum())],
+                "bloom_bits": [bits.tobytes()],
+            }
+        )
+
+    return both.groupBy("shard").applyInPandas(_or, SEEN_SHARDS_SCHEMA)
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,

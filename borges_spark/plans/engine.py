@@ -40,12 +40,13 @@ from borges_spark.functions.html import parse_pages_batches
 from borges_spark.functions.urls import canonicalize_url_col, url_hash_col, url_host_col
 from borges_spark.operators.frontier import add_sequence, merge_upsert, route_fetch_outcomes, error_class_col
 from borges_spark.operators.politeness import PolitenessConfig, budgets_df, select_round
-from borges_spark.operators.seen import BloomConfig, build_seen_shards, filter_unseen
+from borges_spark.operators.seen import BloomConfig, filter_unseen, merge_seen_shards
 from borges_spark.plans.checkpoint import SnapshotStore
 
 
 @dataclass(frozen=True)
 class CrawlConfig:
+    verbose: bool = False
     max_rounds: int = 50
     max_attempts: int = 3  # Elsevier/paper_xml.py:141
     retry_backoff_rounds: int = 1
@@ -117,8 +118,16 @@ class CrawlEngine:
         )
         return joined.filter(~blocked).drop("disallow_prefixes")
 
-    def run_round(self, frontier: DataFrame, round_no: int, next_seq: int) -> tuple[DataFrame, DataFrame, DataFrame, int, int]:
-        """Returns (new_frontier, crawl_log, metrics, n_selected, next_seq)."""
+    def run_round(
+        self,
+        frontier: DataFrame,
+        shards: DataFrame | None,
+        round_no: int,
+        next_seq: int,
+    ) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame, int, int]:
+        """Returns (new_frontier, new_shards, crawl_log, metrics,
+        n_selected, next_seq). `shards` is the incremental Bloom seen-set
+        (None when use_bloom is off or on the first round)."""
         cfg = self.cfg
         eligible = frontier.filter(
             (F.col("state") == "pending")
@@ -135,7 +144,7 @@ class CrawlEngine:
         selected = add_sequence(selected, order, "rank_in_round", start=1)
         n_selected = selected.count()
         if n_selected == 0:
-            return frontier, None, None, 0, next_seq
+            return frontier, shards, None, None, 0, next_seq
 
         # -- fetch: equi-join against the page store ("the web") ---------
         page_side = self.pages.select(
@@ -205,11 +214,6 @@ class CrawlEngine:
             .withColumn("url_hash", url_hash_col("url"))
             .withColumn("host", url_host_col("url"))
         )
-        n_candidates = candidates.count()
-
-        shards = None
-        if cfg.use_bloom and n_candidates > 0:
-            shards = build_seen_shards(frontier.select("url_hash"), cfg.bloom)
         unseen = filter_unseen(candidates, frontier, shards, cfg.bloom)
 
         new_rows = add_sequence(
@@ -217,7 +221,7 @@ class CrawlEngine:
             "discovered_seq", start=next_seq,
         )
         new_rows = new_rows.select(
-            "url", "url_hash", "host",
+            "url", "url_hash", "host",  # noqa: keep frontier column order
             F.col("depth").cast("int"),
             (F.lit(1.0) / (1.0 + F.col("depth"))).alias("priority"),
             "discovered_seq",
@@ -233,6 +237,11 @@ class CrawlEngine:
             round_no, cfg.max_attempts, cfg.retry_backoff_rounds,
         ).select(*_FRONTIER_COLS)
         new_frontier = merge_upsert(frontier, updated, "url_hash").unionByName(new_rows)
+
+        # incremental seen-set: fold only this round's new hashes in
+        new_shards = shards
+        if cfg.use_bloom:
+            new_shards = merge_seen_shards(shards, new_rows.select("url_hash"), cfg.bloom)
 
         # -- lineage counters (A2: per-host per-round) ---------------------
         sched = parsed.groupBy("host").agg(
@@ -252,7 +261,7 @@ class CrawlEngine:
         )
         n_new = new_rows.count()
         metrics = metrics.withColumn("dedup_hits", F.lit(0).cast("long"))
-        return new_frontier, crawl_log, metrics, n_selected, next_seq + n_new
+        return new_frontier, new_shards, crawl_log, metrics, n_selected, next_seq + n_new
 
     # -- driver loop -------------------------------------------------------
     def run(self, resume: bool = True) -> dict:
@@ -262,23 +271,48 @@ class CrawlEngine:
             latest = store.latest_round()
         else:
             latest = None
+        shards: DataFrame | None = None
         if latest is None:
             frontier = self.init_frontier()
             start_round = 0
             next_seq = frontier.count()
+            if self.cfg.use_bloom:
+                shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
         else:
             frontier = store.read(spark, latest, "frontier")
             start_round = latest + 1
             next_seq = int(store.manifest(latest)["meta"]["next_seq"])
+            if self.cfg.use_bloom:
+                try:
+                    shards = store.read(spark, latest, "seen_shards")
+                except Exception:
+                    # older snapshot without shards: rebuild once
+                    shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
 
         rounds_run = 0
         for r in range(start_round, self.cfg.max_rounds):
-            new_frontier, crawl_log, metrics, n_sel, next_seq = self.run_round(frontier, r, next_seq)
+            import time as _time
+
+            t0 = _time.time()
+            new_frontier, new_shards, crawl_log, metrics, n_sel, next_seq = self.run_round(
+                frontier, shards, r, next_seq
+            )
+            t1 = _time.time()
             if n_sel == 0:
                 break
             datasets = {"frontier": new_frontier, "crawl_log": crawl_log, "metrics": metrics}
+            if new_shards is not None:
+                datasets["seen_shards"] = new_shards
             store.write_snapshot(r, datasets, meta={"next_seq": next_seq, "n_selected": n_sel})
-            frontier = store.read(spark, r, "frontier")  # snapshot-backed: O(1) plan per round
+            if self.cfg.verbose:
+                print(
+                    f"[round {r}] selected={n_sel} next_seq={next_seq} "
+                    f"compute={t1 - t0:.1f}s commit={_time.time() - t1:.1f}s",
+                    flush=True,
+                )
+            # snapshot-backed re-reads: O(1) plan size per round
+            frontier = store.read(spark, r, "frontier")
+            shards = store.read(spark, r, "seen_shards") if new_shards is not None else None
             rounds_run += 1
 
         final_round = store.latest_round()

@@ -39,3 +39,24 @@ def test_bloom_spill_tier(spark):
     assert "exact" in tiers
     got = sorted(r["url"] for r in filter_unseen(cand, seen, shards, cfg).collect())
     assert got == sorted(f"https://x.com/{i}" for i in range(300, 400))
+
+
+def test_incremental_merge_matches_batch(spark):
+    from borges_spark.operators.seen import merge_seen_shards
+
+    cfg = BloomConfig(n_shards=4, bits_per_shard=1 << 14, n_hashes=4)
+    first = _hashed(spark, [f"https://m.com/{i}" for i in range(200)])
+    second = _hashed(spark, [f"https://m.com/{i}" for i in range(200, 350)])
+    everything = _hashed(spark, [f"https://m.com/{i}" for i in range(350)])
+
+    incremental = merge_seen_shards(merge_seen_shards(None, first, cfg), second, cfg)
+    batch = build_seen_shards(everything, cfg)
+
+    inc = {r["shard"]: (r["tier"], r["n_urls"], bytes(r["bloom_bits"])) for r in incremental.collect()}
+    bat = {r["shard"]: (r["tier"], r["n_urls"], bytes(r["bloom_bits"])) for r in batch.collect()}
+    assert inc == bat
+
+    cand = _hashed(spark, [f"https://m.com/{i}" for i in range(300, 500)])
+    seen = everything
+    got = sorted(r["url"] for r in filter_unseen(cand, seen, incremental, cfg).collect())
+    assert got == sorted(f"https://m.com/{i}" for i in range(350, 500))
