@@ -77,8 +77,13 @@ def run_headline(spark) -> dict[str, float]:
     return times
 
 
-def run_crawl_bench(spark, n_pages: int = 60_000, rounds: int = 3) -> dict:
-    """Fixed crawl workload; returns urls-scheduled+pages-parsed per sec."""
+def run_crawl_bench(spark, n_pages: int = 200_000, rounds: int = 3) -> dict:
+    """Fixed crawl workload; returns urls-scheduled+pages-parsed per sec.
+
+    Steady-state throughput is measured on the final (largest) round —
+    the regime that matters at 10^10-frontier scale, where per-round
+    driver overhead is amortized over millions of URLs.
+    """
     from pyspark.sql import functions as F
 
     from borges_spark.operators.politeness import PolitenessConfig
@@ -86,8 +91,8 @@ def run_crawl_bench(spark, n_pages: int = 60_000, rounds: int = 3) -> dict:
     from borges_spark.plans.engine import CrawlConfig, CrawlEngine
     from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
 
-    web = WebConfig(n_pages=n_pages, n_hosts=300, out_degree=6, n_seeds=256, hot_frac=0.1)
-    pol = PolitenessConfig(default_delay_s=0.05, round_budget_s=60.0)  # k=1200/host/round
+    web = WebConfig(n_pages=n_pages, n_hosts=400, out_degree=8, n_seeds=8000, hot_frac=0.1)
+    pol = PolitenessConfig(default_delay_s=0.02, round_budget_s=60.0)  # k=3000/host/round
     cfg = CrawlConfig(max_rounds=rounds, order_mode="priority", use_bloom=True, politeness=pol)
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
@@ -100,17 +105,26 @@ def run_crawl_bench(spark, n_pages: int = 60_000, rounds: int = 3) -> dict:
         pages = spark.read.parquet(pages_path)
         engine = CrawlEngine(spark, pages, gen_seeds(spark, web), SnapshotStore(os.path.join(root, "store")), cfg)
         t0 = time.time()
-        engine.run(resume=False)
+        summary = engine.run(resume=False)
         wall = time.time() - t0
         m = engine.metrics().agg(
             F.sum("scheduled").alias("s"), F.sum("parsed").alias("p")
         ).collect()[0]
         scheduled, parsed = int(m["s"]), int(m["p"])
+        last = summary["round_stats"][-1]
+        last_m = (
+            engine.metrics()
+            .filter(F.col("round") == last["round"])
+            .agg(F.sum("scheduled").alias("s"), F.sum("parsed").alias("p"))
+            .collect()[0]
+        )
+        steady_wall = last["compute_s"] + last["commit_s"]
         return {
             "wall_s": round(wall, 2),
             "scheduled": scheduled,
             "parsed": parsed,
             "urls_per_s": round((scheduled + parsed) / wall, 1),
+            "steady_urls_per_s": round((int(last_m["s"]) + int(last_m["p"])) / steady_wall, 1),
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -125,7 +139,8 @@ def main():
     queries = run_headline(spark)
 
     ratio = CPUS / LOW
-    eff = crawl_high["urls_per_s"] / (crawl_low["urls_per_s"] * ratio)
+    eff_total = crawl_high["urls_per_s"] / (crawl_low["urls_per_s"] * ratio)
+    eff_steady = crawl_high["steady_urls_per_s"] / (crawl_low["steady_urls_per_s"] * ratio)
     out = {
         "metric": "frontier URLs scheduled + pages parsed per second",
         "value": round(sum(queries.values()), 3),
@@ -137,11 +152,14 @@ def main():
             "cores_high": CPUS,
             "throughput_low_urls_per_s": crawl_low["urls_per_s"],
             "throughput_high_urls_per_s": crawl_high["urls_per_s"],
+            "steady_low_urls_per_s": crawl_low["steady_urls_per_s"],
+            "steady_high_urls_per_s": crawl_high["steady_urls_per_s"],
             "wall_low_s": crawl_low["wall_s"],
             "wall_high_s": crawl_high["wall_s"],
             "scheduled": crawl_high["scheduled"],
             "parsed": crawl_high["parsed"],
-            "scaling_efficiency": round(eff, 3),
+            "scaling_efficiency": round(eff_total, 3),
+            "scaling_efficiency_steady": round(eff_steady, 3),
         },
     }
     print(json.dumps(out))

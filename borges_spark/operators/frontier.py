@@ -15,6 +15,12 @@ from pyspark.sql import types as T
 
 
 def add_sequence(df: DataFrame, order_cols: list, col_name: str, start: int = 0) -> DataFrame:
+    return add_sequence_with_total(df, order_cols, col_name, start)[0]
+
+
+def add_sequence_with_total(
+    df: DataFrame, order_cols: list, col_name: str, start: int = 0
+) -> tuple[DataFrame, int]:
     """Assign a dense global sequence in `order_cols` order, distributed
     and Arrow-only (no per-row Python, no single-partition window).
 
@@ -29,6 +35,9 @@ def add_sequence(df: DataFrame, order_cols: list, col_name: str, start: int = 0)
     identical at local[8] and local[32] (and N vs 4N executors), which
     the determinism contract requires. localCheckpoint pins the range
     boundaries so both passes see the same partitioning.
+
+    Returns (df_with_seq, total_rows) — the total falls out of pass 1
+    for free, saving callers a separate count() job.
     """
     spark = df.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 1)
@@ -44,6 +53,7 @@ def add_sequence(df: DataFrame, order_cols: list, col_name: str, start: int = 0)
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    total = acc - start
     bc = spark.sparkContext.broadcast(offsets)
 
     out_schema = T.StructType(
@@ -67,7 +77,7 @@ def add_sequence(df: DataFrame, order_cols: list, col_name: str, start: int = 0)
             out[col_name] = seqs
             yield out
 
-    return sorted_df.mapInPandas(assign, out_schema)
+    return sorted_df.mapInPandas(assign, out_schema), total
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:

@@ -45,7 +45,8 @@ def budget_for(delay_s: float, round_budget_s: float) -> tuple[int, int]:
     """(k per eligible round, every_m rounds) for one host."""
     if delay_s <= 0:
         return (1 << 30, 1)
-    k = int(round_budget_s // delay_s)
+    # epsilon guards the binary-float quotient (60.0/0.1 -> 599.999...)
+    k = int(round_budget_s / delay_s + 1e-9)
     if k >= 1:
         return (k, 1)
     return (1, int(math.ceil(delay_s / round_budget_s)))

@@ -38,7 +38,12 @@ from pyspark.sql import functions as F
 
 from borges_spark.functions.html import parse_pages_batches
 from borges_spark.functions.urls import canonicalize_url_col, url_hash_col, url_host_col
-from borges_spark.operators.frontier import add_sequence, merge_upsert, route_fetch_outcomes, error_class_col
+from borges_spark.operators.frontier import (
+    add_sequence_with_total,
+    error_class_col,
+    merge_upsert,
+    route_fetch_outcomes,
+)
 from borges_spark.operators.politeness import PolitenessConfig, budgets_df, select_round
 from borges_spark.operators.seen import BloomConfig, filter_unseen, merge_seen_shards
 from borges_spark.plans.checkpoint import SnapshotStore
@@ -141,8 +146,7 @@ class CrawlEngine:
             order = [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
         else:
             order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()]
-        selected = add_sequence(selected, order, "rank_in_round", start=1)
-        n_selected = selected.count()
+        selected, n_selected = add_sequence_with_total(selected, order, "rank_in_round", start=1)
         if n_selected == 0:
             return frontier, shards, None, None, 0, next_seq
 
@@ -216,7 +220,7 @@ class CrawlEngine:
         )
         unseen = filter_unseen(candidates, frontier, shards, cfg.bloom)
 
-        new_rows = add_sequence(
+        new_rows, n_new = add_sequence_with_total(
             unseen, [F.col("parent_rank").asc(), F.col("link_pos").asc(), F.col("url_hash").asc()],
             "discovered_seq", start=next_seq,
         )
@@ -259,7 +263,6 @@ class CrawlEngine:
                 *[F.coalesce(c, F.lit(0)).alias(c) for c in ("scheduled", "fetched", "parsed", "errors", "new_urls")],
             )
         )
-        n_new = new_rows.count()
         metrics = metrics.withColumn("dedup_hits", F.lit(0).cast("long"))
         return new_frontier, new_shards, crawl_log, metrics, n_selected, next_seq + n_new
 
@@ -290,6 +293,7 @@ class CrawlEngine:
                     shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
 
         rounds_run = 0
+        round_stats: list[dict] = []
         for r in range(start_round, self.cfg.max_rounds):
             import time as _time
 
@@ -304,6 +308,14 @@ class CrawlEngine:
             if new_shards is not None:
                 datasets["seen_shards"] = new_shards
             store.write_snapshot(r, datasets, meta={"next_seq": next_seq, "n_selected": n_sel})
+            round_stats.append(
+                {
+                    "round": r,
+                    "n_selected": n_sel,
+                    "compute_s": round(t1 - t0, 2),
+                    "commit_s": round(_time.time() - t1, 2),
+                }
+            )
             if self.cfg.verbose:
                 print(
                     f"[round {r}] selected={n_sel} next_seq={next_seq} "
@@ -321,6 +333,7 @@ class CrawlEngine:
             "final_round": final_round,
             "next_seq": next_seq,
             "frontier_size": frontier.count(),
+            "round_stats": round_stats,
         }
 
     # -- readers -------------------------------------------------------------

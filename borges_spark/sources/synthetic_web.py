@@ -71,22 +71,25 @@ def _url_for(i: Column, cfg: WebConfig) -> Column:
 def _text_for(i: Column) -> Column:
     # Deterministic pseudo-prose: pure function of page id, ASCII-safe
     # except the windows-1252 marker added by gen_pages.
-    words = F.array(
-        F.concat(F.lit("page"), i.cast("string")),
-        F.element_at(
-            F.array(*[F.lit(w) for w in ("alpha", "beta", "gamma", "delta", "epsilon")]),
-            (F.pmod(i, F.lit(5)) + 1).cast("int"),
-        ),
-        F.element_at(
-            F.array(*[F.lit(w) for w in ("crawl", "frontier", "index", "corpus", "token", "merge", "shard")]),
-            (F.pmod(i * 31, F.lit(7)) + 1).cast("int"),
-        ),
-        F.element_at(
-            F.array(*[F.lit(w) for w in ("the quick fox", "a slow loris", "the busy bee")]),
-            (F.pmod(i * 7, F.lit(3)) + 1).cast("int"),
-        ),
+    bank = F.array(
+        *[
+            F.lit(w)
+            for w in (
+                "alpha", "beta", "gamma", "delta", "epsilon", "crawl", "frontier",
+                "index", "corpus", "token", "merge", "shard", "the", "quick", "fox",
+                "jumps", "over", "lazy", "dog", "and", "of", "stream", "batch",
+                "window", "parse", "fetch", "robots", "budget", "snapshot",
+            )
+        ]
     )
-    return F.array_join(words, " ")
+    filler = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda k: F.element_at(bank, (F.pmod(F.pmod(i, F.lit(_PRIME)) * 7 + k * 13 + k, F.lit(29)) + 1).cast("int")),
+        ),
+        " ",
+    )
+    return F.concat(F.lit("page"), i.cast("string"), F.lit(" "), filler)
 
 
 def gen_pages(spark: SparkSession, cfg: WebConfig = WebConfig()) -> DataFrame:
@@ -151,11 +154,13 @@ def gen_pages(spark: SparkSession, cfg: WebConfig = WebConfig()) -> DataFrame:
 
 
 def gen_seeds(spark: SparkSession, cfg: WebConfig = WebConfig()) -> DataFrame:
-    """Deterministic seed list: the first n_seeds page ids, in id order —
-    models the reference's generated seed enumeration order
-    (Borges/spiders/RSC/start_url_gen.py:24-35)."""
+    """Deterministic seed list in enumeration order — models the
+    reference's generated seed lists (RSC/start_url_gen.py:24-35).
+    Seeds stride across the page-id space so they land on many hosts
+    (a seed list concentrated on one host would leave every other
+    politeness bucket idle in round 0)."""
     i = F.col("id")
-    return (
-        spark.range(cfg.n_seeds)
-        .select(_url_for(i, cfg).alias("url"), i.alias("seq"))
+    stride = max(cfg.n_pages // max(cfg.n_seeds, 1), 1)
+    return spark.range(cfg.n_seeds).select(
+        _url_for(i * stride, cfg).alias("url"), i.alias("seq")
     )

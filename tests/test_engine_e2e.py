@@ -17,10 +17,10 @@ from borges_spark.plans.simulator import simulate_crawl
 from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
 
 WEB = WebConfig(n_pages=400, n_hosts=6, out_degree=3, n_seeds=4, hot_frac=0.3)
-POL = PolitenessConfig(default_delay_s=5.0, round_budget_s=60.0)  # k=12/host/round
+POL = PolitenessConfig(default_delay_s=5.0, round_budget_s=240.0)  # k=48/host/round
 
 
-def _setup(spark, tmp_path, order_mode="fifo", fail_every=0, max_rounds=12, use_bloom=True):
+def _setup(spark, tmp_path, order_mode="fifo", fail_every=0, max_rounds=6, use_bloom=True):
     pages = gen_pages(spark, WEB)
     seeds = gen_seeds(spark, WEB)
     cfg = CrawlConfig(
@@ -63,7 +63,7 @@ def test_engine_matches_simulator(spark, tmp_path, order_mode):
     hashes = _all_url_hashes(spark, seen_urls)
     sim = simulate_crawl(
         pages_d, seed_rows, hashes, politeness=POL, order_mode=order_mode,
-        max_rounds=12, fail_every=11,
+        max_rounds=6, fail_every=11,
     )
 
     got = [(r["round"], r["rank_in_round"], r["url"], r["status"]) for r in log]
@@ -87,15 +87,15 @@ def test_text_byte_identical(spark, tmp_path):
 
 def test_resume_determinism(spark, tmp_path):
     # uninterrupted run
-    engine_a, _, _ = _setup(spark, tmp_path / "a", max_rounds=8)
+    engine_a, _, _ = _setup(spark, tmp_path / "a", max_rounds=5)
     engine_a.run(resume=False)
     log_a = [(r["round"], r["rank_in_round"], r["url"], r["status"])
              for r in engine_a.crawl_log().orderBy("round", "rank_in_round").collect()]
 
-    # killed after 3 rounds, then resumed
-    engine_b, _, _ = _setup(spark, tmp_path / "b", max_rounds=3)
+    # killed after 2 rounds, then resumed
+    engine_b, _, _ = _setup(spark, tmp_path / "b", max_rounds=2)
     engine_b.run(resume=False)
-    engine_b2, _, _ = _setup(spark, tmp_path / "b", max_rounds=8)
+    engine_b2, _, _ = _setup(spark, tmp_path / "b", max_rounds=5)
     engine_b2.run(resume=True)
     log_b = [(r["round"], r["rank_in_round"], r["url"], r["status"])
              for r in engine_b2.crawl_log().orderBy("round", "rank_in_round").collect()]
@@ -107,8 +107,8 @@ def test_resume_determinism(spark, tmp_path):
 
 
 def test_bloom_and_exact_paths_agree(spark, tmp_path):
-    engine_a, _, _ = _setup(spark, tmp_path / "bloom", use_bloom=True, max_rounds=5)
-    engine_b, _, _ = _setup(spark, tmp_path / "exact", use_bloom=False, max_rounds=5)
+    engine_a, _, _ = _setup(spark, tmp_path / "bloom", use_bloom=True, max_rounds=4)
+    engine_b, _, _ = _setup(spark, tmp_path / "exact", use_bloom=False, max_rounds=4)
     engine_a.run(resume=False)
     engine_b.run(resume=False)
     la = [(r["round"], r["rank_in_round"], r["url"]) for r in engine_a.crawl_log().orderBy("round", "rank_in_round").collect()]
@@ -117,7 +117,7 @@ def test_bloom_and_exact_paths_agree(spark, tmp_path):
 
 
 def test_metrics_lineage(spark, tmp_path):
-    engine, _, _ = _setup(spark, tmp_path, max_rounds=5)
+    engine, _, _ = _setup(spark, tmp_path, max_rounds=4)
     engine.run(resume=False)
     m = engine.metrics()
     total_sched = m.agg(F.sum("scheduled")).collect()[0][0]
