@@ -665,16 +665,30 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard near-dups; integer outputs + integer threshold
-    (n_inter*10 >= 8*union) so no float crosses engines."""
+    """Exact Jaccard near-dups with rare-shingle candidate generation
+    (df <= 20 bounds the self-join linearly — see operators/dedup.py);
+    integer outputs + integer threshold (n_inter*10 >= 8*union) so no
+    float crosses engines."""
     docs = _t(spark, sf_dir, "documents")
+    max_df = 20
     sh = docs.select(F.col("doc_id"), F.explode(D.shingles_col(F.col("text"))).alias("sh"))
+    # reused by 4 branches (sizes/rare/candidates/verify): pin it once
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
+    rare_sh = sh.join(rare, "sh")
+    cand = (
+        rare_sh.select(F.col("doc_id").alias("id_a"), "sh")
+        .join(rare_sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     inter = (
-        a.join(b, "sh").filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b").agg(F.count("*").alias("n_inter"))
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
@@ -694,10 +708,19 @@ WITH norm AS (
   WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh) WHERE df <= 20
+), rare_sh AS (
+  SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON s.sh = r.sh
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare_sh a JOIN rare_sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
 ), inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.id_a, c.id_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  SEMI JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b
 )
 SELECT id_a, id_b, n_inter, sa.sz AS sz_a, sb.sz AS sz_b
 FROM inter

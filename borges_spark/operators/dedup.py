@@ -56,23 +56,38 @@ def shingles_col(text_col: Column, k: int = SHINGLE_LEN) -> Column:
 # MinHash + LSH
 
 
+def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int) -> DataFrame:
+    """(id, h0..h{n-1}) — all n permutation minima in ONE pass over the
+    shingle rows: n hash columns per row, n min-aggregates map-side
+    combined. Avoids the naive perm-explode that multiplies the shuffle
+    by n_perms."""
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
+    )
+    hashed = ex.select(
+        id_col,
+        *[
+            hash60_col(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+            for i in range(n_perms)
+        ],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_perms)]
+    )
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_perms: int = MINHASH_PERMS) -> DataFrame:
     """(id, perm, minhash) — perm i applies hash60(i || ':' || shingle).
 
     shingle -> minhash -> band -> bucket-join is the classic pipeline;
-    the explode is linear in total shingle count and combines map-side.
+    computed wide (one pass) then unpivoted to the long shape.
     """
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
-    )
-    perms = ex.select(
-        id_col, F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm"), "sh"
-    )
-    hashed = perms.withColumn(
-        "h", hash60_col(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh")))
-    )
-    return hashed.groupBy(id_col, "perm").agg(F.min("h").alias("minhash"))
+    wide = _minhash_wide(docs, text_col, id_col, n_perms)
+    stack = ", ".join(f"{i}, h{i}" for i in range(n_perms))
+    return wide.selectExpr(
+        id_col, f"stack({n_perms}, {stack}) AS (perm, minhash)"
+    ).select(id_col, F.col("perm").cast("int"), "minhash")
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -83,18 +98,30 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "do
     self-join is an equi-join on (band, band_hash) — bucketed, never
     all-pairs.
     """
-    sig = minhash_signature(docs, text_col, id_col, n_perms)
-    # band hash: minhashes concatenated in perm order (struct sort on the
-    # unique perm key gives a deterministic order inside collect_list)
-    ordered = F.transform(
-        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
-        lambda s: s["minhash"].cast("string"),
+    wide = _minhash_wide(docs, text_col, id_col, n_perms)
+    n_bands = n_perms // band_size
+    # band hash: minhashes concatenated in perm order, straight from the
+    # wide columns — no collect_list, no second shuffle
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{b * band_size + j}").cast("string")
+                            for j in range(band_size)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    bands = (
-        sig.withColumn("band", (F.col("perm") / band_size).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.md5(F.concat_ws(",", ordered)).alias("band_hash"))
-    )
+    bands = wide.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     return (
@@ -167,17 +194,36 @@ def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text", id_col: str =
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        threshold: float = 0.8, k: int = SHINGLE_LEN) -> DataFrame:
-    """Exact Jaccard over char-k-gram shingle sets, candidate-bounded:
-    pairs must share >=1 shingle (equi-join on shingle), then
-    |A∩B| / (|A|+|B|-|A∩B|) >= threshold. Never enumerates all pairs."""
-    sh = docs.select(F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh"))
+                        threshold: float = 0.8, k: int = SHINGLE_LEN,
+                        max_df: int = 20) -> DataFrame:
+    """Exact Jaccard over char-k-gram shingle sets, with scale-bounded
+    candidate generation.
+
+    A naive shingle self-join is Σ df(shingle)^2 rows — quadratic on
+    template-heavy corpora. Candidates are instead generated only from
+    *rare* shingles (document frequency <= max_df), which bounds the
+    join at max_df × total shingles (linear in corpus size); the
+    Jaccard value for each surviving pair is then verified EXACTLY over
+    the pair's full shingle sets. A pair sharing only ubiquitous
+    shingles is by definition template overlap, not near-duplication.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
+    rare_sh = sh.join(rare, "sh")
+    cand = (
+        rare_sh.select(F.col(id_col).alias("id_a"), "sh")
+        .join(rare_sh.select(F.col(id_col).alias("id_b"), "sh"), "sh")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact |A∩B| over the FULL shingle sets of candidate pairs
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), "sh"), ["id_b", "sh"], "left_semi")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
