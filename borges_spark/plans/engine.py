@@ -58,6 +58,10 @@ class CrawlConfig:
     order_mode: str = "priority"  # 'priority' (OPIC-ish) | 'fifo' (reference order)
     fail_every: int = 0  # inject deterministic transient 503 when pmod(url_hash, fail_every)==0
     use_bloom: bool = True
+    # hot-host fetch fan-out (SURVEY.md §4 strategy 2): hosts with >= this
+    # many selected rows in a round spread over `n_salts` fetch sub-keys
+    hot_host_threshold: int = 1000
+    n_salts: int = 8
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     bloom: BloomConfig = field(default_factory=BloomConfig)
 
@@ -151,10 +155,16 @@ class CrawlEngine:
             return frontier, shards, None, None, 0, next_seq
 
         # -- fetch: equi-join against the page store ("the web") ---------
+        # hot politeness buckets fan out over salted sub-keys; the salt
+        # shapes the parse-stage partitioning below (in a live deployment
+        # the HTTP fetch itself runs inside that host-grouped stage)
+        from borges_spark.operators.credentials import salt_hot_hosts
+
+        salted = salt_hot_hosts(selected, cfg.hot_host_threshold, cfg.n_salts)
         page_side = self.pages.select(
             F.col("url"), F.col("html"), F.col("lang").alias("_page_lang")
         )
-        fetched = selected.join(page_side, "url", "left")
+        fetched = salted.join(page_side, "url", "left")
         fail_injected = (
             (F.lit(cfg.fail_every) > 0)
             & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
@@ -170,8 +180,14 @@ class CrawlEngine:
         ).withColumn("lang", F.col("_page_lang")).drop("_page_lang")
 
         # -- parse: Arrow-batched decode + extract ------------------------
-        parse_in = fetched.select(
-            *_FRONTIER_COLS, "host_rank", "rank_in_round", "status", "lang", "html"
+        # partition by (host, host_salt): one host's pages batch to the
+        # same Python worker (session/cache locality) unless salted hot
+        parse_in = (
+            fetched.select(
+                *_FRONTIER_COLS, "host_salt", "host_rank", "rank_in_round", "status", "lang", "html"
+            )
+            .repartition(self.spark.sparkContext.defaultParallelism, "host", "host_salt")
+            .drop("host_salt")
         )
 
         def _parse(it):
