@@ -271,15 +271,20 @@ class CrawlEngine:
             F.sum((F.col("status") != 200).cast("long")).alias("errors"),
         )
         discovered = new_rows.groupBy("host").agg(F.count("*").alias("new_urls"))
+        # dedup_hits = candidate links rejected by the seen set, per host
+        cand_by_host = candidates.groupBy("host").agg(F.count("*").alias("_n_cand"))
         metrics = (
             sched.join(discovered, "host", "full_outer")
+            .join(cand_by_host, "host", "full_outer")
             .select(
                 F.lit(round_no).alias("round"),
                 "host",
                 *[F.coalesce(c, F.lit(0)).alias(c) for c in ("scheduled", "fetched", "parsed", "errors", "new_urls")],
+                (F.coalesce("_n_cand", F.lit(0)) - F.coalesce("new_urls", F.lit(0)))
+                .cast("long")
+                .alias("dedup_hits"),
             )
         )
-        metrics = metrics.withColumn("dedup_hits", F.lit(0).cast("long"))
         return new_frontier, new_shards, crawl_log, metrics, n_selected, next_seq + n_new
 
     # -- driver loop -------------------------------------------------------
