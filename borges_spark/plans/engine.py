@@ -55,7 +55,9 @@ class CrawlConfig:
     max_rounds: int = 50
     max_attempts: int = 3  # Elsevier/paper_xml.py:141
     retry_backoff_rounds: int = 1
-    order_mode: str = "priority"  # 'priority' (OPIC-ish) | 'fifo' (reference order)
+    # 'priority' (depth-weighted) | 'opic' (cash-flow) | 'fifo' (reference insertion order)
+    order_mode: str = "priority"
+    initial_cash: float = 1_000_000.0  # per-seed OPIC cash (integer-valued)
     fail_every: int = 0  # inject deterministic transient 503 when pmod(url_hash, fail_every)==0
     use_bloom: bool = True
     # hot-host fetch fan-out (SURVEY.md §4 strategy 2): hosts with >= this
@@ -101,12 +103,15 @@ class CrawlEngine:
     def init_frontier(self) -> DataFrame:
         s = self.seeds
         url = canonicalize_url_col("url")
+        seed_priority = (
+            self.cfg.initial_cash if self.cfg.order_mode == "opic" else 1.0
+        )
         return s.select(
             url.alias("url"),
             url_hash_col(url).alias("url_hash"),
             url_host_col(url).alias("host"),
             F.lit(0).alias("depth"),
-            F.lit(1.0).alias("priority"),
+            F.lit(float(seed_priority)).alias("priority"),
             F.col("seq").cast("long").alias("discovered_seq"),
             F.lit(0).alias("discovered_round"),
             F.lit("pending").alias("state"),
@@ -220,6 +225,8 @@ class CrawlEngine:
         exploded = parsed.select(
             F.col("rank_in_round").alias("parent_rank"),
             (F.col("depth") + 1).alias("depth"),
+            F.col("priority").alias("parent_priority"),
+            F.col("n_links"),
             F.posexplode_outer("links").alias("link_pos", "url"),
         ).filter(F.col("url").isNotNull())
         candidates = (
@@ -234,16 +241,36 @@ class CrawlEngine:
             .withColumn("url_hash", url_hash_col("url"))
             .withColumn("host", url_host_col("url"))
         )
+
+        # OPIC cash flow (order_mode='opic'): every fetched page splits
+        # its integer-valued cash equally over its out-link occurrences.
+        # Integer-valued doubles keep sums exact and order-independent,
+        # so accumulation is parallelism-invariant.
+        contrib = None
+        if cfg.order_mode == "opic":
+            contrib = (
+                exploded.withColumn(
+                    "cash", F.floor(F.col("parent_priority") / F.col("n_links")).cast("double")
+                )
+                .groupBy("url")
+                .agg(F.sum("cash").alias("cash_add"))
+            )
+
         unseen = filter_unseen(candidates, frontier, shards, cfg.bloom)
 
         new_rows, n_new = add_sequence_with_total(
             unseen, [F.col("parent_rank").asc(), F.col("link_pos").asc(), F.col("url_hash").asc()],
             "discovered_seq", start=next_seq,
         )
+        if cfg.order_mode == "opic":
+            new_priority = F.coalesce(F.col("cash_add"), F.lit(0.0))
+            new_rows = new_rows.join(contrib, "url", "left")
+        else:
+            new_priority = F.lit(1.0) / (1.0 + F.col("depth"))
         new_rows = new_rows.select(
-            "url", "url_hash", "host",  # noqa: keep frontier column order
+            "url", "url_hash", "host",  # frontier column order
             F.col("depth").cast("int"),
-            (F.lit(1.0) / (1.0 + F.col("depth"))).alias("priority"),
+            new_priority.alias("priority"),
             "discovered_seq",
             F.lit(round_no).alias("discovered_round"),
             F.lit("pending").alias("state"),
@@ -256,7 +283,19 @@ class CrawlEngine:
             parsed.select(*_FRONTIER_COLS, "status"),
             round_no, cfg.max_attempts, cfg.retry_backoff_rounds,
         ).select(*_FRONTIER_COLS)
-        new_frontier = merge_upsert(frontier, updated, "url_hash").unionByName(new_rows)
+        merged = merge_upsert(frontier, updated, "url_hash")
+        if contrib is not None:
+            # cash flowing to already-known URLs accrues only to rows
+            # still pending after this round's fetch routing
+            cash_upd = (
+                merged.filter(F.col("state") == "pending")
+                .join(contrib, "url")
+                .withColumn("priority", F.col("priority") + F.col("cash_add"))
+                .drop("cash_add")
+                .select(*_FRONTIER_COLS)
+            )
+            merged = merge_upsert(merged, cash_upd, "url_hash")
+        new_frontier = merged.unionByName(new_rows)
 
         # incremental seen-set: fold only this round's new hashes in
         new_shards = shards

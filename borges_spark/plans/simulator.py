@@ -53,22 +53,29 @@ def simulate_crawl(
     max_attempts: int = 3,
     retry_backoff_rounds: int = 1,
     fail_every: int = 0,
+    initial_cash: float = 1_000_000.0,
 ) -> SimResult:
     """pages: url -> raw html bytes.  url_hash: url -> xxhash64 (from Spark,
-    so tie-breaks and failure injection agree bit-for-bit with the engine)."""
+    so tie-breaks and failure injection agree bit-for-bit with the engine).
+
+    order_mode: 'fifo' | 'priority' (depth-weighted) | 'opic' (cash flow:
+    fetched pages split integer-valued cash over out-link occurrences;
+    integer arithmetic keeps accumulation order-independent, matching
+    the engine exactly)."""
     delays = dict(politeness.host_delays)
     windows = {h: (a, b) for h, a, b in politeness.host_windows}
 
     def hash_of(u: str) -> int:
         return url_hash.get(u, 0)
 
+    seed_priority = initial_cash if order_mode == "opic" else 1.0
     frontier: dict[str, SimEntry] = {}
     for url, seq in sorted(seeds, key=lambda t: t[1]):
         if url in frontier:
             continue
         frontier[url] = SimEntry(
             url=url, url_hash=hash_of(url), host=url_host_py(url),
-            depth=0, priority=1.0, discovered_seq=seq,
+            depth=0, priority=seed_priority, discovered_seq=seq,
         )
     next_seq = len(frontier)
 
@@ -111,6 +118,7 @@ def simulate_crawl(
         # fetch + parse, in rank order; discoveries appended FIFO
         new_this_round: list[tuple[str, int]] = []  # (url, depth)
         queued: set[str] = set()
+        cash_flow: dict[str, float] = {}  # OPIC: url -> accumulated cash this round
         for rank, e in enumerate(selected, start=1):
             raw = pages.get(e.url)
             if raw is None:
@@ -124,7 +132,11 @@ def simulate_crawl(
             if status == 200:
                 html = decode_html(raw)
                 text = extract_text(html)
-                for link in extract_links(e.url, html):
+                links = extract_links(e.url, html)
+                share = float(int(e.priority / len(links))) if (order_mode == "opic" and links) else 0.0
+                for link in links:
+                    if order_mode == "opic":
+                        cash_flow[link] = cash_flow.get(link, 0.0) + share
                     if link in frontier or link in queued:
                         continue
                     queued.add(link)
@@ -140,10 +152,22 @@ def simulate_crawl(
             else:
                 e.state = "dead"
 
+        # OPIC: cash to already-known URLs accrues only to rows still
+        # pending after this round's fetch routing (mirrors the engine)
+        if order_mode == "opic":
+            for url, cash in cash_flow.items():
+                ent = frontier.get(url)
+                if ent is not None and ent.state == "pending":
+                    ent.priority += cash
+
         for url, depth in new_this_round:
+            if order_mode == "opic":
+                prio = cash_flow.get(url, 0.0)
+            else:
+                prio = 1.0 / (1.0 + depth)
             frontier[url] = SimEntry(
                 url=url, url_hash=hash_of(url), host=url_host_py(url),
-                depth=depth, priority=1.0 / (1.0 + depth),
+                depth=depth, priority=prio,
                 discovered_seq=next_seq, next_allowed_round=r + 1,
             )
             next_seq += 1

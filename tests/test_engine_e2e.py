@@ -48,7 +48,7 @@ def _all_url_hashes(spark, urls):
     return {r["url"]: r["h"] for r in df.withColumn("h", F.xxhash64("url")).collect()}
 
 
-@pytest.mark.parametrize("order_mode", ["fifo", "priority"])
+@pytest.mark.parametrize("order_mode", ["fifo", "priority", "opic"])
 def test_engine_matches_simulator(spark, tmp_path, order_mode):
     engine, pages, seeds = _setup(spark, tmp_path, order_mode=order_mode, fail_every=11)
     summary = engine.run(resume=False)
