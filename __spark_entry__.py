@@ -514,6 +514,112 @@ SELECT user_id, sum(new_sess) AS n_sessions FROM g GROUP BY user_id
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J7 family; Spark lacks a native one): each 'error'
+    event matched to the same user's latest 'purchase' at-or-before it.
+    Spark plan: union both sides, ONE window pass carrying the last
+    purchase forward — no range-explode, no per-row Python, a single
+    shuffle on the key. The DuckDB oracle is the textbook
+    row_number-over-range-join form."""
+    events = _t(spark, sf_dir, "events")
+    ts_l = F.col("ts").cast("timestamp").cast("long")
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", ts_l.alias("ts_s"), F.col("event_id").alias("error_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts_l.alias("ts_s"), F.col("event_id").alias("purchase_id")
+    )
+    left = errors.select("user_id", "ts_s", "error_id", F.lit(None).cast("long").alias("purchase_id"))
+    right = purchases.select("user_id", "ts_s", F.lit(None).cast("long").alias("error_id"), "purchase_id")
+    both = left.unionByName(right)
+    # purchases sort before errors at identical ts so an equal-timestamp
+    # purchase is visible ("at or before")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_s").asc(), F.col("error_id").isNotNull().cast("int").asc(), F.col("purchase_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = both.withColumn("last_purchase", F.last("purchase_id", ignorenulls=True).over(w))
+    return (
+        carried.filter(F.col("error_id").isNotNull())
+        .select("user_id", "error_id", F.col("last_purchase").alias("asof_purchase_id"))
+    )
+
+
+_ASOF_SQL = """
+WITH err AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id AS error_id
+  FROM events WHERE event_type = 'error'
+), pur AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT e.user_id, e.error_id, p.purchase_id,
+         row_number() OVER (PARTITION BY e.error_id ORDER BY p.ts_s DESC, p.purchase_id DESC) AS rn
+  FROM err e LEFT JOIN pur p ON e.user_id = p.user_id AND p.ts_s <= e.ts_s
+)
+SELECT user_id, error_id, purchase_id AS asof_purchase_id
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 extension — rollup grouping sets with subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .select("l_returnflag", "l_linestatus", "n")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot — per-priority order counts spread over status columns."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("priority_class"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .select(
+            "priority_class",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority AS priority_class,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+FROM orders GROUP BY 1
+"""
+
+
+def q_intersect_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SO3 — intersect: customer nations that also supply."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    a = customer.select(F.col("c_nationkey").alias("nationkey"))
+    b = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+_INTERSECT_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / text analysis / similarity
 
@@ -894,6 +1000,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_parsing": q_scalar_parsing,
         "json_access": q_json_access,
         "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "rollup_counts": q_rollup_counts,
+        "pivot_status": q_pivot_status,
+        "intersect_hosts": q_intersect_hosts,
         # training-data pipeline
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
@@ -935,6 +1045,10 @@ def oracle_sql() -> dict[str, str]:
         "scalar_parsing": _SCALAR_SQL,
         "json_access": _JSON_SQL,
         "sessionize": _SESSIONIZE_SQL,
+        "asof_join": _ASOF_SQL,
+        "rollup_counts": _ROLLUP_SQL,
+        "pivot_status": _PIVOT_SQL,
+        "intersect_hosts": _INTERSECT_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "token_count": _TOKEN_COUNT_SQL,
         "lang_id": _LANG_ID_SQL,
