@@ -836,6 +836,48 @@ WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8
 """
 
 
+def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate edges: each doc
+    labeled with the min reachable doc_id (iterative label propagation
+    on Spark; recursive-CTE reachability in the DuckDB oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.duplicate_groups(docs.select("doc_id"), pairs)
+
+
+_DUP_GROUPS_SQL = f"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt FROM documents
+), sh AS (
+  SELECT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
+  FROM norm, range(1, 2000) i
+  WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
+), perms AS (
+  SELECT doc_id, sh, p.range AS perm FROM sh, range(0, {X.MINHASH_PERMS}) p
+), sig AS (
+  SELECT doc_id, CAST(perm AS INT) AS perm,
+         min({X.hash60_sql("CAST(perm AS VARCHAR) || ':' || sh")}) AS minhash
+  FROM perms GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, perm // 2 AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, perm // 2
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach (id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+"""
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding cosine near-dups within label buckets; ids only (the
     float similarity is engine-internal)."""
@@ -1014,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_groups": q_dup_groups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         # non-SQL-expressible (rows-only)
@@ -1058,6 +1101,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signature": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dup_groups": _DUP_GROUPS_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_bruteforce": _ANN_BF_SQL,
         "publisher_parse": _PUBLISHER_PARSE_SQL,

@@ -238,6 +238,54 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 
 # ---------------------------------------------------------------------------
+# duplicate-group clustering (connected components)
+
+
+def duplicate_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                     max_iters: int = 15) -> DataFrame:
+    """Connected components over near-dup pair edges: every doc gets
+    group_id = min doc id reachable through edges (the canonical
+    representative — generalizes the reference's keep-first dedup).
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converges in
+    graph-diameter rounds (band/bucket dup graphs are dense, so the
+    diameter is small). Each iteration is one join + one aggregate;
+    labels are snapshot via localCheckpoint so the plan stays O(1)
+    across iterations — the standard Spark iterative-algorithm pattern.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("group_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("group_id"), F.coalesce("nmin", F.col("group_id"))).alias("group_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            labels.withColumnRenamed("group_id", "old")
+            .join(new_labels, "id")
+            .filter(F.col("old") != F.col("group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), "group_id")
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
 

@@ -68,3 +68,21 @@ def test_embedding_neardup(spark):
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs
     assert (0, 3) not in pairs  # bucketing bounds candidates by design
+
+
+def test_duplicate_groups(spark):
+    ids = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (6, 7)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in D.duplicate_groups(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 6}
+
+
+def test_duplicate_groups_chain(spark):
+    # long chain exercises multi-iteration propagation
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["group_id"] for r in D.duplicate_groups(ids, pairs).collect()}
+    assert all(v == 0 for v in got.values())
