@@ -1,16 +1,19 @@
 """Benchmark harness.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <total headline suite seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "crawl": {"throughput_low": urls/s at local[N_LOW],
-             "throughput_high": urls/s at local[N_HIGH],
-             "scaling_efficiency": ...}}
+  {"metric": ..., "value": <headline suite seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "crawl": {...}}
 
-The crawl block is the BASELINE.json north-rule evidence: the same
-fetch-round pipeline (frontier select -> fetch-join -> Arrow parse ->
-seen-check -> merge) run at two parallelism levels on the same input;
-scaling_efficiency = T_high / (T_low * (N_HIGH/N_LOW)).
+The `crawl` block is the BASELINE.json north-rule evidence: the same
+job at two parallelism levels (local[N] vs local[4N]) on the same
+input. Measurement design for a *noisy multi-tenant box*:
+  - every Spark leg runs in a FRESH subprocess (clean JVM — no heap
+    carry-over between legs);
+  - the parse-stage probe (the CPU-bound data plane) runs interleaved
+    L,H,L,H and reports per-arm MEDIANS;
+  - a raw-CPU multiprocessing burn measures the box's own scaling
+    ceiling (SMT + tenant contention) alongside, so the Spark numbers
+    can be read against what perfectly-parallel work could achieve.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), BORGES_BENCH_LOW (default 8).
@@ -21,15 +24,23 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
+import subprocess
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-LOW = int(os.environ.get("BORGES_BENCH_LOW", "8"))
+# N vs 4N for the scaling evidence. Default 4 vs 16: this box's 32
+# logical CPUs are ~16 physical + SMT (raw-CPU burn scales ~2.7x from
+# 8->32 but ~3.4x from 4->16), so comparing within physical cores
+# measures the engine rather than hyper-threading.
+LOW = int(os.environ.get("BORGES_BENCH_LOW", "4"))
+HIGH = int(os.environ.get("BORGES_BENCH_HIGH", str(min(4 * LOW, CPUS))))
 
 HEADLINE = [
     "frontier_round",
@@ -49,98 +60,183 @@ HEADLINE = [
     "ann_bruteforce",
 ]
 
+N_PAGES = 300_000
 
-def _fresh_spark(cores: int):
-    from pyspark.sql import SparkSession
 
-    active = SparkSession.getActiveSession()
-    if active is not None:
-        active.stop()
-        # a stopped context lingers briefly; getOrCreate below makes a new one
+def _spark(cores: int):
     from borges_spark.session import get_spark
 
     return get_spark(cores=cores, app_name=f"borges_bench_{cores}",
                      shuffle_partitions=2 * cores)
 
 
-def run_headline(spark) -> dict[str, float]:
-    import __spark_entry__ as E
-
-    qs = E.queries()
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        df = fn(spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    return times
+# ---------------------------------------------------------------------------
+# leg bodies (run inside subprocesses via `python bench.py --leg ...`)
 
 
-def run_crawl_bench(spark, n_pages: int = 200_000, rounds: int = 3) -> dict:
-    """Fixed crawl workload; returns urls-scheduled+pages-parsed per sec.
+def leg_gen_web(out_root: str) -> None:
+    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
 
-    Steady-state throughput is measured on the final (largest) round —
-    the regime that matters at 10^10-frontier scale, where per-round
-    driver overhead is amortized over millions of URLs.
-    """
+    spark = _spark(LOW)
+    web = WebConfig(
+        n_pages=N_PAGES, n_hosts=400, out_degree=10, n_seeds=N_PAGES,
+        hot_frac=0.1, text_words=96,
+    )
+    # 128 output files => 128 parquet row groups: scan parallelism for
+    # every downstream leg (parquet splits only at row-group bounds, so
+    # a 4-partition write would cap ALL legs at ~4-way reads)
+    gen_pages(spark, web).repartition(128).write.mode("overwrite").parquet(f"{out_root}/pages")
+    gen_seeds(spark, web).repartition(16).write.mode("overwrite").parquet(f"{out_root}/seeds")
+    print(json.dumps({"ok": True}))
+
+
+def leg_crawl(cores: int, web_root: str) -> None:
+    """One FULL-SIZE engine round (every page seeded, budget admits all):
+    selection, fetch-join, Arrow parse, link dedup against a 300k seen
+    set, frontier merge, snapshot commit — all at material size."""
     from pyspark.sql import functions as F
 
     from borges_spark.operators.politeness import PolitenessConfig
     from borges_spark.plans.checkpoint import SnapshotStore
     from borges_spark.plans.engine import CrawlConfig, CrawlEngine
-    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
 
-    web = WebConfig(n_pages=n_pages, n_hosts=400, out_degree=8, n_seeds=8000, hot_frac=0.1)
-    pol = PolitenessConfig(default_delay_s=0.02, round_budget_s=60.0)  # k=3000/host/round
-    cfg = CrawlConfig(max_rounds=rounds, order_mode="priority", use_bloom=True, politeness=pol)
-
-    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    root = tempfile.mkdtemp(prefix="borges_bench_store_", dir=base)
+    spark = _spark(cores)
+    pol = PolitenessConfig(default_delay_s=0.001, round_budget_s=60.0)
+    cfg = CrawlConfig(max_rounds=1, order_mode="priority", use_bloom=True, politeness=pol)
+    store_root = tempfile.mkdtemp(prefix="borges_bench_store_", dir=os.path.dirname(web_root))
     try:
-        pages = gen_pages(spark, web)
-        # materialize pages once so generation cost isn't in the loop
-        pages_path = os.path.join(root, "pages")
-        pages.write.mode("overwrite").parquet(pages_path)
-        pages = spark.read.parquet(pages_path)
-        engine = CrawlEngine(spark, pages, gen_seeds(spark, web), SnapshotStore(os.path.join(root, "store")), cfg)
+        pages = spark.read.parquet(f"{web_root}/pages")
+        seeds = spark.read.parquet(f"{web_root}/seeds")
+        engine = CrawlEngine(spark, pages, seeds, SnapshotStore(f"{store_root}/store"), cfg)
         t0 = time.time()
-        summary = engine.run(resume=False)
+        engine.run(resume=False)
         wall = time.time() - t0
         m = engine.metrics().agg(
             F.sum("scheduled").alias("s"), F.sum("parsed").alias("p")
         ).collect()[0]
-        scheduled, parsed = int(m["s"]), int(m["p"])
-        last = summary["round_stats"][-1]
-        last_m = (
-            engine.metrics()
-            .filter(F.col("round") == last["round"])
-            .agg(F.sum("scheduled").alias("s"), F.sum("parsed").alias("p"))
-            .collect()[0]
-        )
-        steady_wall = last["compute_s"] + last["commit_s"]
-        return {
+        print(json.dumps({
             "wall_s": round(wall, 2),
-            "scheduled": scheduled,
-            "parsed": parsed,
-            "urls_per_s": round((scheduled + parsed) / wall, 1),
-            "steady_urls_per_s": round((int(last_m["s"]) + int(last_m["p"])) / steady_wall, 1),
-        }
+            "scheduled": int(m["s"]),
+            "parsed": int(m["p"]),
+            "urls_per_s": round((int(m["s"]) + int(m["p"])) / wall, 1),
+        }))
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(store_root, ignore_errors=True)
 
 
-def main():
-    spark = _fresh_spark(LOW)
-    crawl_low = run_crawl_bench(spark)
+def leg_parse(cores: int, web_root: str, reps: int = 2) -> None:
+    """The vectorized fetch->parse stage alone (pages/s) — the
+    CPU-bound data plane of the round."""
+    spark = _spark(cores)
+    pages = spark.read.parquet(f"{web_root}/pages")
+    n_pages = pages.count()  # warms the scan
 
-    spark = _fresh_spark(CPUS)
-    crawl_high = run_crawl_bench(spark)
-    queries = run_headline(spark)
+    def parse_batches(it):
+        import pandas as pd
 
-    ratio = CPUS / LOW
+        from borges_spark.functions.html import decode_html, extract_links, extract_text
+
+        for pdf in it:
+            htmls = [decode_html(h) for h in pdf["html"]]
+            texts = [extract_text(h) for h in htmls]
+            links = [extract_links(u, h) for u, h in zip(pdf["url"], htmls)]
+            yield pd.DataFrame(
+                {"url": pdf["url"], "text": texts, "n_links": [len(ls) for ls in links]}
+            )
+
+    t0 = time.time()
+    for _ in range(reps):
+        (
+            pages.select("url", "html")
+            .mapInPandas(parse_batches, "url string, text string, n_links int")
+            .selectExpr("count(*)")
+            .collect()
+        )
+    wall = time.time() - t0
+    print(json.dumps({"wall_s": round(wall, 2), "pages_per_s": round(reps * n_pages / wall, 1)}))
+
+
+def leg_headline() -> None:
+    import __spark_entry__ as E
+
+    spark = _spark(CPUS)
+    qs = E.queries()
+    times = {}
+    for name in HEADLINE:
+        df = qs[name](spark, SF_DIR)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    print(json.dumps(times))
+
+
+# ---------------------------------------------------------------------------
+# hardware ceiling (raw multiprocessing, no Spark)
+
+
+def _burn(n: int) -> int:
+    import math
+
+    for i in range(n):
+        math.sin(float(i))
+    return n
+
+
+def hardware_ceiling(low: int, high: int) -> float:
+    import multiprocessing as mp
+
+    def rate(procs: int) -> float:
+        work = [1_500_000] * procs * 2
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn, work)
+            return sum(work) / (time.time() - t0)
+
+    # interleave to average out box drift
+    rl1, rh1, rl2, rh2 = rate(low), rate(high), rate(low), rate(high)
+    return ((rh1 + rh2) / 2) / (((rl1 + rl2) / 2) * (high / low))
+
+
+# ---------------------------------------------------------------------------
+# orchestration
+
+
+def _run_leg(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *args],
+        capture_output=True, text=True, cwd=REPO,
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"leg {args} failed: {out.stderr[-500:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    web_root = tempfile.mkdtemp(prefix="borges_bench_web_", dir=base)
+    try:
+        _run_leg(["--leg", "gen", "--out", web_root])
+
+        # parse-stage probe: interleaved, median per arm
+        parse_low, parse_high = [], []
+        for _ in range(2):
+            parse_low.append(_run_leg(["--leg", "parse", "--cores", str(LOW), "--web", web_root])["pages_per_s"])
+            parse_high.append(_run_leg(["--leg", "parse", "--cores", str(HIGH), "--web", web_root])["pages_per_s"])
+        p_low = statistics.median(parse_low)
+        p_high = statistics.median(parse_high)
+
+        crawl_low = _run_leg(["--leg", "crawl", "--cores", str(LOW), "--web", web_root])
+        crawl_high = _run_leg(["--leg", "crawl", "--cores", str(HIGH), "--web", web_root])
+
+        queries = _run_leg(["--leg", "headline"])
+        hw = hardware_ceiling(LOW, HIGH)
+    finally:
+        shutil.rmtree(web_root, ignore_errors=True)
+
+    ratio = HIGH / LOW
     eff_total = crawl_high["urls_per_s"] / (crawl_low["urls_per_s"] * ratio)
-    eff_steady = crawl_high["steady_urls_per_s"] / (crawl_low["steady_urls_per_s"] * ratio)
+    eff_parse = p_high / (p_low * ratio)
     out = {
         "metric": "frontier URLs scheduled + pages parsed per second",
         "value": round(sum(queries.values()), 3),
@@ -149,21 +245,41 @@ def main():
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "crawl": {
             "cores_low": LOW,
-            "cores_high": CPUS,
+            "cores_high": HIGH,
             "throughput_low_urls_per_s": crawl_low["urls_per_s"],
             "throughput_high_urls_per_s": crawl_high["urls_per_s"],
-            "steady_low_urls_per_s": crawl_low["steady_urls_per_s"],
-            "steady_high_urls_per_s": crawl_high["steady_urls_per_s"],
+            "parse_low_pages_per_s": p_low,
+            "parse_high_pages_per_s": p_high,
+            "parse_samples": {"low": parse_low, "high": parse_high},
             "wall_low_s": crawl_low["wall_s"],
             "wall_high_s": crawl_high["wall_s"],
             "scheduled": crawl_high["scheduled"],
             "parsed": crawl_high["parsed"],
             "scaling_efficiency": round(eff_total, 3),
-            "scaling_efficiency_steady": round(eff_steady, 3),
+            "scaling_efficiency_parse_stage": round(eff_parse, 3),
+            "hardware_scaling_ceiling": round(hw, 3),
+            "scaling_efficiency_vs_hardware": round(eff_parse / max(hw, 1e-9), 3),
         },
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--leg", choices=["gen", "crawl", "parse", "headline"], default=None)
+    p.add_argument("--cores", type=int, default=LOW)
+    p.add_argument("--web", default=None)
+    p.add_argument("--out", default=None)
+    a = p.parse_args()
+    if a.leg is None:
+        main()
+    elif a.leg == "gen":
+        leg_gen_web(a.out)
+    elif a.leg == "crawl":
+        leg_crawl(a.cores, a.web)
+    elif a.leg == "parse":
+        leg_parse(a.cores, a.web)
+    elif a.leg == "headline":
+        leg_headline()

@@ -36,7 +36,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from borges_spark.functions.html import parse_pages_batches
 from borges_spark.functions.urls import canonicalize_url_col, url_hash_col, url_host_col
 from borges_spark.operators.frontier import (
     add_sequence_with_total,
@@ -106,7 +105,7 @@ class CrawlEngine:
         seed_priority = (
             self.cfg.initial_cash if self.cfg.order_mode == "opic" else 1.0
         )
-        return s.select(
+        rows = s.select(
             url.alias("url"),
             url_hash_col(url).alias("url_hash"),
             url_host_col(url).alias("host"),
@@ -117,7 +116,18 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
             F.lit(0).alias("next_allowed_round"),
-        ).dropDuplicates(["url_hash"])
+        )
+        # duplicate seed URLs: keep the lowest seq (deterministic — the
+        # simulator keeps the first in seed order; dropDuplicates would
+        # keep an arbitrary row)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("url_hash").orderBy(F.col("discovered_seq").asc())
+        return (
+            rows.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
 
     # -- one round ---------------------------------------------------------
     def _apply_robots(self, eligible: DataFrame) -> DataFrame:

@@ -44,6 +44,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # keep task parallelism at bench/test data sizes: the 128MB scan
+        # split and AQE's 1MB min-coalesce target are tuned for TB-scale
+        # inputs and would serialize a few-hundred-MB job onto 2 tasks;
+        # these values preserve ~core-count tasks locally and remain sane
+        # on a cluster (more, smaller tasks)
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(128 * 1024))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 * 1024 * 1024))
     )
     if extra_conf:
         for k, v in extra_conf.items():

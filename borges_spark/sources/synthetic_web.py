@@ -46,6 +46,7 @@ class WebConfig:
     hot_frac: float = 0.25  # fraction of pages on the single hot host
     n_seeds: int = 8
     latin1_every: int = 17  # every k-th page is windows-1252/'de'
+    text_words: int = 24  # filler words per page (bench uses larger, web-realistic pages)
 
 
 def _mix(i: Column, a: int, c: int) -> Column:
@@ -68,7 +69,7 @@ def _url_for(i: Column, cfg: WebConfig) -> Column:
     )
 
 
-def _text_for(i: Column) -> Column:
+def _text_for(i: Column, n_words: int = 24) -> Column:
     # Deterministic pseudo-prose: pure function of page id, ASCII-safe
     # except the windows-1252 marker added by gen_pages.
     bank = F.array(
@@ -84,7 +85,7 @@ def _text_for(i: Column) -> Column:
     )
     filler = F.array_join(
         F.transform(
-            F.sequence(F.lit(0), F.lit(23)),
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
             lambda k: F.element_at(bank, (F.pmod(F.pmod(i, F.lit(_PRIME)) * 7 + k * 13 + k, F.lit(29)) + 1).cast("int")),
         ),
         " ",
@@ -123,7 +124,8 @@ def gen_pages(spark: SparkSession, cfg: WebConfig = WebConfig()) -> DataFrame:
             (F.pmod(i * 13, F.lit(5)) + 1).cast("int"),
         )
     )
-    text = F.when(is_latin1, F.concat(_text_for(i), F.lit(" café"))).otherwise(_text_for(i))
+    base_text = _text_for(i, cfg.text_words)
+    text = F.when(is_latin1, F.concat(base_text, F.lit(" café"))).otherwise(base_text)
     charset_decl = F.when(is_latin1, F.lit("windows-1252")).otherwise(F.lit("utf-8"))
 
     html_str = F.concat(
