@@ -60,7 +60,7 @@ HEADLINE = [
     "ann_bruteforce",
 ]
 
-N_PAGES = 300_000
+N_PAGES = 200_000
 
 
 def _spark(cores: int):
@@ -124,7 +124,7 @@ def leg_crawl(cores: int, web_root: str) -> None:
         shutil.rmtree(store_root, ignore_errors=True)
 
 
-def leg_parse(cores: int, web_root: str, reps: int = 2) -> None:
+def leg_parse(cores: int, web_root: str, reps: int = 1) -> None:
     """The vectorized fetch->parse stage alone (pages/s) — the
     CPU-bound data plane of the round."""
     spark = _spark(cores)
