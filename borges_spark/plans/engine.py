@@ -337,7 +337,36 @@ class CrawlEngine:
         return new_frontier, new_shards, crawl_log, metrics, n_selected, next_seq + n_new
 
     # -- driver loop -------------------------------------------------------
-    def run(self, resume: bool = True) -> dict:
+    def fold_seeds(
+        self, frontier: DataFrame, seeds: DataFrame, next_seq: int, round_no: int
+    ) -> tuple[DataFrame, int]:
+        """Fold a new seed batch into an existing frontier (continuous /
+        streaming mode): canonicalize, drop already-known URLs, assign
+        discovered_seq deterministically in seed order."""
+        url = canonicalize_url_col("url")
+        rows = seeds.select(
+            url.alias("url"),
+            url_hash_col(url).alias("url_hash"),
+            F.col("seq").cast("long").alias("_seed_seq"),
+        )
+        unseen = rows.join(frontier.select("url_hash"), "url_hash", "left_anti")
+        seeded, n = add_sequence_with_total(
+            unseen, [F.col("_seed_seq").asc(), F.col("url_hash").asc()], "discovered_seq", next_seq
+        )
+        seed_priority = self.cfg.initial_cash if self.cfg.order_mode == "opic" else 1.0
+        new_rows = seeded.select(
+            "url", "url_hash", url_host_col("url").alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(float(seed_priority)).alias("priority"),
+            "discovered_seq",
+            F.lit(round_no).alias("discovered_round"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+            F.lit(round_no).alias("next_allowed_round"),
+        )
+        return frontier.unionByName(new_rows), next_seq + n
+
+    def _load_state(self, resume: bool):
         store, spark = self.store, self.spark
         if resume:
             store.gc_uncommitted()
@@ -361,10 +390,43 @@ class CrawlEngine:
                 except Exception:
                     # older snapshot without shards: rebuild once
                     shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
+        return frontier, shards, start_round, next_seq
+
+    def run(
+        self,
+        resume: bool = True,
+        seed_batch: DataFrame | None = None,
+        extra_rounds: int | None = None,
+    ) -> dict:
+        """Run rounds until the frontier drains or the round cap.
+
+        seed_batch: extra (url, seq) rows folded into the frontier
+        before running — the continuous-mode entry used by streaming
+        foreachBatch handlers (on the first batch it IS the seed list).
+        extra_rounds: advance at most this many rounds past the resume
+        point (streaming micro-batch pacing); default: cfg.max_rounds
+        as an absolute cap.
+        """
+        store, spark = self.store, self.spark
+        frontier, shards, start_round, next_seq = self._load_state(resume)
+        limit = self.cfg.max_rounds if extra_rounds is None else start_round + extra_rounds
+        if seed_batch is not None:
+            if start_round == 0:
+                self.seeds = seed_batch
+                frontier = self.init_frontier()
+                next_seq = frontier.count()
+                if self.cfg.use_bloom:
+                    shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
+            else:
+                frontier, new_next = self.fold_seeds(frontier, seed_batch, next_seq, start_round)
+                if self.cfg.use_bloom and new_next > next_seq:
+                    added = frontier.filter(F.col("discovered_seq") >= next_seq)
+                    shards = merge_seen_shards(shards, added.select("url_hash"), self.cfg.bloom)
+                next_seq = new_next
 
         rounds_run = 0
         round_stats: list[dict] = []
-        for r in range(start_round, self.cfg.max_rounds):
+        for r in range(start_round, limit):
             import time as _time
 
             t0 = _time.time()

@@ -72,6 +72,38 @@ def windowed_event_counts(
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def streaming_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds_dir: str,
+    store_root: str,
+    cfg=None,
+    rounds_per_batch: int = 2,
+) -> None:
+    """Continuous-mode crawl: seed files landing in `seeds_dir` drive
+    the engine via foreachBatch — each micro-batch folds its seed rows
+    into the frontier (seen-set-deduplicated, deterministically
+    sequenced) and advances up to `rounds_per_batch` politeness-budgeted
+    rounds, committing a snapshot per round. Restarts resume from the
+    last committed snapshot — the streaming generalization of the
+    reference's resumable flag-state (SURVEY.md §2.9 ST6)."""
+    from borges_spark.plans.checkpoint import SnapshotStore
+    from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+
+    cfg = cfg or CrawlConfig(max_rounds=1_000_000)
+    store = SnapshotStore(store_root)
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        engine = CrawlEngine(spark, pages, batch_df, store, cfg)
+        engine.run(resume=True, seed_batch=batch_df, extra_rounds=rounds_per_batch)
+
+    stream = spark.readStream.schema("url string, seq long").parquet(seeds_dir)
+    q = stream.writeStream.foreachBatch(on_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def stream_frontier_rounds(
     spark: SparkSession,
     seeds_path: str,
