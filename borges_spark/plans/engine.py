@@ -439,7 +439,11 @@ class CrawlEngine:
             datasets = {"frontier": new_frontier, "crawl_log": crawl_log, "metrics": metrics}
             if new_shards is not None:
                 datasets["seen_shards"] = new_shards
-            store.write_snapshot(r, datasets, meta={"next_seq": next_seq, "n_selected": n_sel})
+            store.write_snapshot(
+                r,
+                datasets,
+                meta={"next_seq": next_seq, "n_selected": n_sel, "compute_s": round(t1 - t0, 2)},
+            )
             round_stats.append(
                 {
                     "round": r,
