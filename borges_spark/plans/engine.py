@@ -58,6 +58,10 @@ class CrawlConfig:
     order_mode: str = "priority"
     initial_cash: float = 1_000_000.0  # per-seed OPIC cash (integer-valued)
     fail_every: int = 0  # inject deterministic transient 503 when pmod(url_hash, fail_every)==0
+    # 'table' joins against the pages table (tests/bench); 'http' does a
+    # live fetch via sources/fetcher (file:// in offline tests)
+    fetch_mode: str = "table"
+    fetch_timeout_s: float = 10.0
     use_bloom: bool = True
     # hot-host fetch fan-out (SURVEY.md §4 strategy 2): hosts with >= this
     # many selected rows in a round spread over `n_salts` fetch sub-keys
@@ -176,23 +180,35 @@ class CrawlEngine:
         from borges_spark.operators.credentials import salt_hot_hosts
 
         salted = salt_hot_hosts(selected, cfg.hot_host_threshold, cfg.n_salts)
-        page_side = self.pages.select(
-            F.col("url"), F.col("html"), F.col("lang").alias("_page_lang")
-        )
-        fetched = salted.join(page_side, "url", "left")
-        fail_injected = (
-            (F.lit(cfg.fail_every) > 0)
-            & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
-            & (F.col("attempts") == 0)
-        )
-        status = (
-            F.when(F.col("html").isNull(), F.lit(404))
-            .when(fail_injected, F.lit(503))
-            .otherwise(F.lit(200))
-        )
-        fetched = fetched.withColumn("status", status).withColumn(
-            "html", F.when(F.col("status") == 200, F.col("html"))
-        ).withColumn("lang", F.col("_page_lang")).drop("_page_lang")
+        if cfg.fetch_mode == "http":
+            # live fetch (or file:// offline): partition by the salted
+            # host key first so one host's budget shares a session
+            from borges_spark.sources.fetcher import fetch_urls
+
+            salted = salted.repartition(
+                self.spark.sparkContext.defaultParallelism, "host", "host_salt"
+            )
+            fetched = fetch_urls(salted, cfg.fetch_timeout_s).withColumn(
+                "lang", F.lit(None).cast("string")
+            )
+        else:
+            page_side = self.pages.select(
+                F.col("url"), F.col("html"), F.col("lang").alias("_page_lang")
+            )
+            fetched = salted.join(page_side, "url", "left")
+            fail_injected = (
+                (F.lit(cfg.fail_every) > 0)
+                & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
+                & (F.col("attempts") == 0)
+            )
+            status = (
+                F.when(F.col("html").isNull(), F.lit(404))
+                .when(fail_injected, F.lit(503))
+                .otherwise(F.lit(200))
+            )
+            fetched = fetched.withColumn("status", status).withColumn(
+                "html", F.when(F.col("status") == 200, F.col("html"))
+            ).withColumn("lang", F.col("_page_lang")).drop("_page_lang")
 
         # -- parse: Arrow-batched decode + extract ------------------------
         # partition by (host, host_salt): one host's pages batch to the
