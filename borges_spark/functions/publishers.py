@@ -279,6 +279,42 @@ def extract_ecs_html(doc_id: str, raw: bytes) -> dict:
     }
 
 
+# --- citation-meta HTML extraction (AIP HTML-era pattern:
+#     Borges/spiders/AIP/aip_spider.py:95-131 pulls structured fields
+#     from meta tags / DOM; here: the citation_* meta-tag family) -----
+
+_META_FIELD_RE = re.compile(r'<meta\s+name="citation_([a-z_]+)"\s+content="([^"]*)"')
+
+
+def extract_meta_html(doc_id: str, raw: bytes, publisher: str = "AIP") -> dict:
+    html = decode_html(raw)
+    fields: dict[str, list[str]] = {}
+    for name, content in _META_FIELD_RE.findall(html):
+        fields.setdefault(name, []).append(content.strip())
+
+    def first(name: str) -> str | None:
+        vals = fields.get(name)
+        return vals[0] if vals else None
+
+    notes: list[str] = []
+    doi = first("doi")
+    if doi is None:
+        notes.append("missing_doi")
+    year = None
+    date = first("publication_date") or first("date")
+    if date and date[:4].isdigit():
+        year = int(date[:4])  # 'prism:coverDate'.split('-')[0] semantics
+    authors = [reorder_author(a) for a in fields.get("author", [])] or None
+    return {
+        "doc_id": doc_id, "publisher": publisher, "doi": doi,
+        "title": first("title"), "abstract": first("abstract"),
+        "authors": authors, "journal": first("journal_title"),
+        "issn": first("issn"), "issue": first("issue"),
+        "published_year": year, "open_access": None,
+        "full_text": None, "contains_body": False, "notes": notes,
+    }
+
+
 def parse_documents(df, fmt_col: str = "fmt"):
     """mapInPandas driver: (doc_id, publisher, fmt, body) -> PAPER_SCHEMA."""
 
@@ -291,6 +327,8 @@ def parse_documents(df, fmt_col: str = "fmt"):
                 raw = bytes(body) if body is not None else b""
                 if fmt == "jats_xml":
                     rows.append(extract_jats(str(doc_id), raw, publisher))
+                elif fmt == "meta_html":
+                    rows.append(extract_meta_html(str(doc_id), raw, publisher))
                 else:
                     rows.append(extract_ecs_html(str(doc_id), raw))
             yield pd.DataFrame(rows)
