@@ -124,3 +124,36 @@ def test_metrics_lineage(spark, tmp_path):
     total_log = engine.crawl_log().count()
     assert total_sched == total_log
     assert m.filter(F.col("fetched") > F.col("scheduled")).count() == 0
+
+
+def test_equivalence_under_politeness_gates(spark, tmp_path):
+    """Engine == simulator with per-host delays (cadence gating) and a
+    time-of-day window active — the full politeness surface."""
+    pol = PolitenessConfig(
+        default_delay_s=5.0,
+        round_budget_s=240.0,
+        host_delays=(("h0.example.com", 600.0),),  # every 3rd round, k=1
+        host_windows=(("h1.example.com", 18, 7),),  # night window
+        start_hour=20,  # open at round 0; closes as rounds tick past 7am
+    )
+    pages = gen_pages(spark, WEB)
+    seeds = gen_seeds(spark, WEB)
+    cfg = CrawlConfig(max_rounds=6, order_mode="fifo", politeness=pol)
+    engine = CrawlEngine(spark, pages, seeds, SnapshotStore(str(tmp_path / "s")), cfg)
+    engine.run(resume=False)
+
+    log = engine.crawl_log().orderBy("round", "rank_in_round").collect()
+    pages_d = {r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()}
+    seed_rows = [(r["url"], r["seq"]) for r in seeds.collect()]
+    seen_urls = [r["url"] for r in engine.frontier().select("url").collect()]
+    hashes = _all_url_hashes(spark, seen_urls)
+    sim = simulate_crawl(
+        pages_d, seed_rows, hashes, politeness=pol, order_mode="fifo", max_rounds=6
+    )
+    got = [(r["round"], r["rank_in_round"], r["url"], r["status"]) for r in log]
+    want = [(t[0], t[1], t[2], t[3]) for t in sim.crawl_log]
+    assert got == want
+    assert set(seen_urls) == sim.seen_urls
+    # the gates actually bit: h0 absent in non-multiple-of-3 rounds
+    h0_rounds = {r["round"] for r in log if r["host"] == "h0.example.com"}
+    assert h0_rounds and all(r % 3 == 0 for r in h0_rounds)
