@@ -50,6 +50,9 @@ HEADLINE = [
     "topk_per_group",
     "window_running",
     "sessionize",
+    "asof_join",
+    "rollup_counts",
+    "pivot_status",
     "dedup_exact",
     "token_count",
     "lang_id",
