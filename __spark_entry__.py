@@ -923,6 +923,62 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: corpus assigned to its nearest of 3 fixed
+    centroids (vec_ids 0-2), queries (vec_ids 3-7) probe their 2
+    nearest centroid lists, exact cosine rank within."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    queries = emb.filter((F.col("vec_id") >= 3) & (F.col("vec_id") < 8)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return S.ivf_style_topk(corpus, queries, centroids, k=5, n_probe=2).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+_ANN_IVF_SQL = """
+WITH cts AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS ctv FROM embeddings WHERE vec_id < 3
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id >= 3 AND vec_id < 8
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 8
+), cos_cq AS (
+  SELECT c.vec_id, cts.centroid_id, cv,
+         list_sum(list_transform(list_zip(cv, ctv), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(cv, x -> x * x))) * sqrt(list_sum(list_transform(ctv, x -> x * x)))) AS s
+  FROM c, cts
+), c_assigned AS (
+  SELECT vec_id, centroid_id, cv FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, centroid_id ASC) AS rn FROM cos_cq
+  ) WHERE rn = 1
+), cos_qc AS (
+  SELECT q.query_id, cts.centroid_id, qv,
+         list_sum(list_transform(list_zip(qv, ctv), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(ctv, x -> x * x)))) AS s
+  FROM q, cts
+), q_probes AS (
+  SELECT query_id, centroid_id, qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, centroid_id ASC) AS rn FROM cos_qc
+  ) WHERE rn <= 2
+), scored AS (
+  SELECT p.query_id, a.vec_id,
+         list_sum(list_transform(list_zip(p.qv, a.cv), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(p.qv, x -> x * x))) * sqrt(list_sum(list_transform(a.cv, x -> x * x)))) AS cos
+  FROM q_probes p JOIN c_assigned a ON p.centroid_id = a.centroid_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible: crawl engine e2e, multimodal, streaming
 # (rows-only checks — the driver records a weaker gate; full semantics
@@ -1059,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_groups": q_dup_groups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
         # non-SQL-expressible (rows-only)
         "publisher_parse": q_publisher_parse,
         "crawl_e2e": q_crawl_e2e,
@@ -1104,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_groups": _DUP_GROUPS_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_bruteforce": _ANN_BF_SQL,
+        "ann_ivf": _ANN_IVF_SQL,
         "publisher_parse": _PUBLISHER_PARSE_SQL,
         # crawl_e2e / multimodal_features / streaming_window: rows-only
     }
