@@ -720,6 +720,44 @@ FROM votes GROUP BY doc_id
 """
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via the Hamming block trick (pairs within
+    distance d < n_blocks must agree on >= 1 of the 4 15-bit blocks ->
+    equi-join per block, exact Hamming verify)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_neardup_pairs(docs, max_hamming=3, n_blocks=4).withColumn(
+        "hamming", F.col("hamming").cast("long")
+    )
+
+
+_SIMHASH_PAIRS_SQL = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, {X.hash60_sql('t')} AS hv FROM tok
+), votes AS (
+  SELECT doc_id, b.range AS b,
+         sum(CASE WHEN (hv >> CAST(b.range AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h, range(0, {X.SIMHASH_BITS}) b
+  GROUP BY doc_id, b.range
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+), blocks AS (
+  SELECT doc_id, simhash, CAST(k.range AS INT) AS block,
+         (simhash >> (CAST(k.range AS INT) * 15)) & 32767 AS key
+  FROM sh, range(0, 4) k
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b ON a.block = b.block AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_signature(docs)
@@ -1109,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_counts": q_quality_counts,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1155,6 +1194,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_counts": _QUALITY_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "simhash": _SIMHASH_SQL,
+        "simhash_pairs": _SIMHASH_PAIRS_SQL,
         "minhash_signature": _MINHASH_SQL,
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
