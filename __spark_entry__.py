@@ -216,7 +216,7 @@ def q_lineage_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINEAGE_SQL = """
 SELECT year(o_orderdate) AS year, o_orderpriority AS priority_class,
        count(*) AS indexed_doc_num,
-       sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END) AS missed_doc_num
+       CAST(sum(CASE WHEN o_totalprice < 5000 THEN 1 ELSE 0 END) AS BIGINT) AS missed_doc_num
 FROM orders GROUP BY 1, 2
 """
 
@@ -510,7 +510,7 @@ WITH g AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) AS n_sessions FROM g GROUP BY user_id
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions FROM g GROUP BY user_id
 """
 
 
@@ -597,9 +597,9 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_SQL = """
 SELECT o_orderpriority AS priority_class,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
 FROM orders GROUP BY 1
 """
 
@@ -715,7 +715,7 @@ WITH tok AS (
   GROUP BY doc_id, b.range
 )
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 

@@ -22,6 +22,13 @@ TABLES = [
 
 
 def norm_cell(v):
+    # Width-insensitive but TYPE-sensitive, matching the driver: numpy
+    # int32/int64 both normalize to python int, but a Decimal (DuckDB
+    # HUGEINT/decimal via Arrow) renders differently from int — an oracle
+    # returning uncast sum() must CAST to BIGINT or this flags it, exactly
+    # like the driver did in round 1 (str() normalization masked that).
+    if hasattr(v, "item"):
+        v = v.item()
     if isinstance(v, float):
         if v != v:
             return "nan"
@@ -30,7 +37,7 @@ def norm_cell(v):
         return v.hex()
     if isinstance(v, list):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+    return repr(v)
 
 
 def value_hash(rows, colnames):
@@ -75,9 +82,12 @@ def main():
             print(f"ok(rows-only) {name}: {len(s_rows)} rows  [{time.time()-t0:.1f}s]")
             continue
         try:
-            rel = con.sql(oracles[name])
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            # Arrow path, not fetchall(): fetchall() converts HUGEINT to
+            # python int and hides oracle typing bugs the driver catches.
+            tbl = con.sql(oracles[name]).fetch_arrow_table()
+            d_cols = tbl.schema.names
+            cols = [c.to_pylist() for c in tbl.columns]  # ints stay int, nulls None, HUGEINT -> Decimal
+            d_rows = list(zip(*cols)) if cols else []
         except Exception as ex:
             failures.append(name)
             print(f"FAIL {name}: duckdb error {type(ex).__name__}: {str(ex)[:300]}")
