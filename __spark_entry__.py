@@ -423,6 +423,62 @@ ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
 """
 
 
+def q_schema_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema migration as one projection (operators/migrate.py; ref
+    aggregate_results.py:27-36 + add_paper_scraped_flag.py:28-32):
+    rename, drop, conditional move, backfill — single scan, no shuffle."""
+    from borges_spark.operators.migrate import (
+        backfill,
+        conditional_move,
+        migrate,
+        rename_columns,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_orderdate"
+    )
+    out = migrate(orders, [
+        (rename_columns, {"o_orderpriority": "priority_class"}),
+        # Paper_HTML -> Paper_HTML_content only when crawled (:33-35)
+        (conditional_move, "o_orderdate", "date_when_open", F.col("o_orderstatus") == "O"),
+        # backfill a flag with a default (:29-30)
+        (backfill, "price_band", F.when(F.col("o_totalprice") >= 100000, "high").otherwise("low")),
+    ])
+    return out.select("o_orderkey", "priority_class", "date_when_open", "price_band")
+
+
+_SCHEMA_MIGRATE_SQL = """
+SELECT o_orderkey,
+       o_orderpriority AS priority_class,
+       CASE WHEN o_orderstatus = 'O' THEN o_orderdate END AS date_when_open,
+       CASE WHEN o_totalprice >= 100000 THEN 'high' ELSE 'low' END AS price_band
+FROM orders
+"""
+
+
+def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 — SEEDED random sample matching the reference's
+    $sample-with-randomize semantics (create_dummy_col.py:26-31): a
+    deterministic pseudo-random order from a seeded cross-engine hash of
+    the key, then top-n. Parallelism-invariant (pure function of rows)
+    and cheap at scale: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k heaps + a k-row driver merge, no global sort)."""
+    orders = _t(spark, sf_dir, "orders")
+    key = X.hash60_col(F.concat(F.col("o_orderkey").cast("string"), F.lit(":seed42")))
+    return (
+        orders.orderBy(key.asc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+_RANDOM_SAMPLE_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY {X.hash60_sql("CAST(o_orderkey AS VARCHAR) || ':seed42'")} ASC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 def q_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6/F2 — zip()-style positional alignment via explode with index
     (Elsevier/journals.py:62-70)."""
@@ -656,6 +712,10 @@ FROM documents
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # the marker-bank argmax is the expensive map here; spread it past
+    # the source's row-group granularity (single-row-group parquet would
+    # otherwise pin the whole job to one task)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return docs.select("doc_id", X.lang_id_col(F.col("text")).alias("lang_pred"))
 
 
@@ -782,6 +842,21 @@ FROM perms GROUP BY doc_id, perm
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs)
+
+
+def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash path: same banded-LSH plan, xxhash64 instead of
+    the md5 oracle-parity hash (~5-10x cheaper per shingle). No SQL
+    oracle (DuckDB has no xxhash64) — pair-set equivalence vs the oracle
+    hash is locked by tests/test_dedup.py on unambiguous duplicates."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, hash_mode="fast")
+
+
+def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash path for the simhash table (see q_minhash_lsh_fast)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash_table(docs, hash_mode="fast")
 
 
 _MINHASH_PAIRS_SQL = f"""
@@ -1029,6 +1104,8 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verified against the single-process reference simulator in
     tests/test_engine_e2e.py (crawl order + seen set + byte-identical
     text)."""
+    import os
+    import shutil
     import tempfile
 
     from borges_spark.operators.politeness import PolitenessConfig
@@ -1041,7 +1118,12 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=5, order_mode="fifo", use_bloom=True,
         politeness=PolitenessConfig(default_delay_s=5.0, round_budget_s=60.0),
     )
-    store = SnapshotStore(tempfile.mkdtemp(prefix="borges_crawl_"))
+    # one FIXED store path, wiped and rebuilt per invocation: the caller
+    # reads the returned crawl-log lazily, so the store must outlive this
+    # function — but repeated invocations must not accumulate temp dirs
+    store_root = os.path.join(tempfile.gettempdir(), "borges_crawl_e2e_store")
+    shutil.rmtree(store_root, ignore_errors=True)
+    store = SnapshotStore(store_root)
     engine = CrawlEngine(spark, gen_pages(spark, web), gen_seeds(spark, web), store, cfg)
     engine.run(resume=False)
     return engine.crawl_log().orderBy("round", "rank_in_round")
@@ -1075,7 +1157,28 @@ def q_publisher_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("jats_xml").alias("fmt"),
         F.encode(xml, "UTF-8").alias("body"),
     )
-    return parse_documents(wrapped).select(
+    # RSC envelope over docs 50-79 (extract_rsc_html; ref RSC/metadata.py:86-118)
+    rsc_docs = _t(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") < 80)
+    )
+    rsc_html = F.concat(
+        F.lit('<div id="tabissues"><div class="h--heading4">Volume 1 2023, Issue 07</div></div>'
+              '<span class="capsule__context">Paper</span>'
+              '<div class="article__title"><h2 class="capsule__title">RSC Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h2></div><div class="capsule__text">'),
+        F.col("text"),
+        F.lit('</div><dl><dd class="c__24"><a class="text--small">https://doi.org/10.1039/D'),
+        F.col("doc_id").cast("string"),
+        F.lit("</a></dd></dl>"),
+    )
+    rsc_wrapped = rsc_docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("RSC").alias("publisher"),
+        F.lit("rsc_html").alias("fmt"),
+        F.encode(rsc_html, "UTF-8").alias("body"),
+    )
+    return parse_documents(wrapped.unionByName(rsc_wrapped)).select(
         "doc_id", "doi", "title", "published_year", "contains_body"
     )
 
@@ -1089,6 +1192,13 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
        2021 AS published_year,
        trim(regexp_replace(text, '\\s+', ' ', 'g')) <> '' AS contains_body
 FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       '10.1039/D' || CAST(doc_id AS VARCHAR) AS doi,
+       'RSC Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       2023 AS published_year,
+       FALSE AS contains_body
+FROM documents WHERE doc_id >= 50 AND doc_id < 80
 """
 
 
@@ -1099,6 +1209,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(gen_media(spark, 64)).select(
         "media_id", "kind", "n_bytes", "decode_ok"
     )
+
+
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing with an EXACT oracle: documents' text bytes as
+    opaque image payloads through the Arrow decode pipeline; the checked
+    outputs are the integer-exact feature components (byte-length mod,
+    first/last byte) — exactly representable in float32, so the value
+    hash is deterministic cross-engine. The float mean stays pytest-only."""
+    from borges_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = docs.select(
+        F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast(
+            "struct<width:int,height:int,duration_ms:bigint,sample_rate:int>"
+        ).alias("meta"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("feature", 1).cast("double").alias("f_lenmod"),
+        F.element_at("feature", 3).cast("double").alias("f_first_byte"),
+        F.element_at("feature", 4).cast("double").alias("f_last_byte"),
+        "decode_ok",
+    )
+
+
+_MULTIMODAL_SQL = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 251 AS DOUBLE) AS f_lenmod,
+       CAST(ord(substr(text, 1, 1)) AS DOUBLE) AS f_first_byte,
+       CAST(ord(substr(text, length(text), 1)) AS DOUBLE) AS f_last_byte,
+       octet_length(encode(text)) > 0 AS decode_ok
+FROM documents WHERE doc_id < 100
+"""
 
 
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1132,6 +1282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running": q_window_running,
         "union_seeds": q_union_seeds,
         "top_n_sample": q_top_n_sample,
+        "random_sample": q_random_sample,
+        "schema_migrate": q_schema_migrate,
         "explode_positions": q_explode_positions,
         "scalar_parsing": q_scalar_parsing,
         "json_access": q_json_access,
@@ -1150,6 +1302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "minhash_signature": q_minhash_signature,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "minhash_lsh_fast": q_minhash_lsh_fast,
+        "simhash_fast": q_simhash_fast,
         "ngram_jaccard": q_ngram_jaccard,
         "dup_groups": q_dup_groups,
         "embedding_neardup": q_embedding_neardup,
@@ -1159,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "publisher_parse": q_publisher_parse,
         "crawl_e2e": q_crawl_e2e,
         "multimodal_features": q_multimodal_features,
+        "multimodal_pipeline": q_multimodal_pipeline,
         "streaming_window": q_streaming_window,
     }
 
@@ -1180,6 +1335,9 @@ def oracle_sql() -> dict[str, str]:
         "window_running": _WINDOW_RUNNING_SQL,
         "union_seeds": _UNION_SQL,
         "top_n_sample": _TOP_N_SQL,
+        "random_sample": _RANDOM_SAMPLE_SQL,
+        "schema_migrate": _SCHEMA_MIGRATE_SQL,
+        "multimodal_pipeline": _MULTIMODAL_SQL,
         "explode_positions": _EXPLODE_SQL,
         "scalar_parsing": _SCALAR_SQL,
         "json_access": _JSON_SQL,

@@ -57,13 +57,16 @@ HEADLINE = [
     "token_count",
     "lang_id",
     "simhash",
+    "simhash_fast",
     "minhash_lsh_pairs",
+    "minhash_lsh_fast",
     "ngram_jaccard",
+    "random_sample",
     "embedding_neardup",
     "ann_bruteforce",
 ]
 
-N_PAGES = 200_000
+N_PAGES = 1_000_000
 
 
 def _spark(cores: int):

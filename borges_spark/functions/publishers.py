@@ -315,6 +315,102 @@ def extract_meta_html(doc_id: str, raw: bytes, publisher: str = "AIP") -> dict:
     }
 
 
+# --- RSC article/issue extraction (Splash-rendered DOM in the reference;
+#     Borges/spiders/RSC/metadata.py:73-118). The reference renders JS via
+#     Splash and walks the DOM with CSS selectors; here the same selector
+#     semantics run as CSS-lite regexes over the (already-rendered) HTML —
+#     rendering latency is a fetch-layer concern (sources/fetcher), the
+#     extraction contract lives here. ------------------------------------
+
+# metadata.py:34 — issue listings drop covers and front/back matter
+RSC_EXCLUDE_ARTICLE_TYPES = ("Cover", "Front/Back Matter")
+
+_RSC_TITLE_RE = re.compile(
+    r'<h2 class="capsule__title"[^>]*>(.*?)</h2>', re.DOTALL
+)  # div.article__title > h2.capsule__title (metadata.py:88)
+_RSC_ABSTRACT_RE = re.compile(
+    r'<div class="capsule__text"[^>]*>(.*?)</div>', re.DOTALL
+)  # div.capsule__text (metadata.py:91)
+_RSC_DOI_URL_RE = re.compile(
+    r'<dd class="c__24">\s*<a class="text--small"[^>]*>([^<]+)</a>'
+)  # dd.c__24 > a.text--small (metadata.py:94)
+_RSC_AUTHOR_RE = re.compile(
+    r'<label class="input__label"[^>]*>(.*?)</label>', re.DOTALL
+)  # label.input__label (metadata.py:103-105; reference notes junk rides along)
+_RSC_TYPE_RE = re.compile(
+    r'<span class="capsule__context"[^>]*>(.*?)</span>', re.DOTALL
+)  # span.capsule__context (metadata.py:53-55)
+_RSC_JOURNAL_RE = re.compile(
+    r'<div class="page-head__vcenter"[^>]*>\s*<span[^>]*>(.*?)</span>', re.DOTALL
+)  # .page-head__vcenter > span:nth-child(1) (metadata.py:77)
+_RSC_ISSUE_HDR_RE = re.compile(
+    r'id="tabissues".*?class="h--heading4"[^>]*>(.*?)<', re.DOTALL
+)  # '#tabissues .h--heading4' (metadata.py:79)
+
+
+def _bs_text(fragment: str) -> str:
+    """BeautifulSoup get_text().strip() semantics: drop tags, keep text
+    node concatenation, trim only the ends."""
+    return _TAG_RE.sub("", fragment).strip()
+
+
+def extract_rsc_html(doc_id: str, raw: bytes) -> dict:
+    """RSC article-page extraction (metadata.py:86-118): title, abstract,
+    DOI from the displayed doi.org URL (split on '.org/' — :94-95),
+    authors from input labels, plus issue-header journal/year/issue when
+    the fragment carries them (:75-84). Articles whose capsule context is
+    an excluded type (Cover, Front/Back Matter — :34,56) are flagged
+    'excluded_type' in notes, mirroring the listing-level skip."""
+    html = decode_html(raw)
+    notes: list[str] = []
+
+    type_m = _RSC_TYPE_RE.search(html)
+    article_type = _bs_text(type_m.group(1)) if type_m else None
+    if article_type in RSC_EXCLUDE_ARTICLE_TYPES:
+        notes.append("excluded_type")
+    # metadata.py:55 — open access marker is an <img> inside the context span
+    open_access = bool(type_m and "<img" in type_m.group(1))
+
+    doi = None
+    doi_m = _RSC_DOI_URL_RE.search(html)
+    if doi_m:
+        doi_url = _bs_text(doi_m.group(1))
+        if ".org/" in doi_url:
+            doi = doi_url.split(".org/")[1]  # metadata.py:95
+    if doi is None:
+        notes.append("missing_doi")
+
+    title_m = _RSC_TITLE_RE.search(html)
+    abstract_m = _RSC_ABSTRACT_RE.search(html)
+    authors = [_bs_text(a) for a in _RSC_AUTHOR_RE.findall(html)] or None
+
+    journal_m = _RSC_JOURNAL_RE.search(html)
+    issue_hdr = _RSC_ISSUE_HDR_RE.search(html)
+    year = issue = None
+    if issue_hdr:
+        # metadata.py:79-81: 'Volume 148, 2023, Issue 12'-style header;
+        # year = last 4 chars of the first comma field, issue = last 2 of
+        # the second
+        parts = _bs_text(issue_hdr.group(1)).split(",")
+        if parts and parts[0][-4:].isdigit():
+            year = int(parts[0][-4:])
+        if len(parts) > 1 and parts[1][-2:].strip().isdigit():
+            issue = parts[1][-2:].strip()
+
+    return {
+        "doc_id": doc_id, "publisher": "RSC",
+        "doi": doi,
+        "title": _bs_text(title_m.group(1)) if title_m else None,
+        "abstract": _bs_text(abstract_m.group(1)) if abstract_m else None,
+        "authors": authors,
+        "journal": _bs_text(journal_m.group(1)) if journal_m else None,
+        "issn": None, "issue": issue, "published_year": year,
+        "open_access": open_access,
+        "full_text": None, "contains_body": False,
+        "notes": notes,
+    }
+
+
 def parse_documents(df, fmt_col: str = "fmt"):
     """mapInPandas driver: (doc_id, publisher, fmt, body) -> PAPER_SCHEMA."""
 
@@ -329,6 +425,8 @@ def parse_documents(df, fmt_col: str = "fmt"):
                     rows.append(extract_jats(str(doc_id), raw, publisher))
                 elif fmt == "meta_html":
                     rows.append(extract_meta_html(str(doc_id), raw, publisher))
+                elif fmt == "rsc_html":
+                    rows.append(extract_rsc_html(str(doc_id), raw))
                 else:
                     rows.append(extract_ecs_html(str(doc_id), raw))
             yield pd.DataFrame(rows)

@@ -46,6 +46,20 @@ def hash60_col(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
+def fast_hash60_col(c: Column) -> Column:
+    """Production-path 60-bit hash: one JVM xxhash64 pass (codegen'd, no
+    md5 + hex decode) — ~5-10x cheaper than the md5-based oracle-parity
+    hash. Top 4 bits dropped so the value is non-negative and the bit
+    algebra (simhash) keeps the 60-bit layout."""
+    return F.shiftrightunsigned(F.xxhash64(c), 4).cast("bigint")
+
+
+def pick_hash60(mode: str = "oracle"):
+    """'oracle' = cross-engine md5 hash (DuckDB-matchable, the
+    correctness-gate path); 'fast' = xxhash64 (the deployment path)."""
+    return hash60_col if mode == "oracle" else fast_hash60_col
+
+
 def hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
 

@@ -33,6 +33,10 @@ from borges_spark.functions.text import (
 def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by normalized-content hash; keeps the smallest id per
     group (deterministic). One map-side-combinable shuffle."""
+    # NOTE: no input repartition here — the groupBy ships only (fp, id)
+    # tuples after map-side combine, so forcing a full-text shuffle to
+    # parallelize the hash map costs more than the map saves; scan-split
+    # granularity (row groups) is the right parallelism source.
     return (
         docs.withColumn("fp", fingerprint_col(F.col(text_col)))
         .groupBy("fp")
@@ -56,18 +60,27 @@ def shingles_col(text_col: Column, k: int = SHINGLE_LEN) -> Column:
 # MinHash + LSH
 
 
-def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int) -> DataFrame:
+def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int,
+                  hash_mode: str = "oracle") -> DataFrame:
     """(id, h0..h{n-1}) — all n permutation minima in ONE pass over the
     shingle rows: n hash columns per row, n min-aggregates map-side
     combined. Avoids the naive perm-explode that multiplies the shuffle
     by n_perms."""
+    from borges_spark.functions.text import pick_hash60
+
+    h60 = pick_hash60(hash_mode)
+    # spread docs across the cluster BEFORE the ~2000x shingle explode:
+    # a single-row-group parquet source would otherwise pin the whole
+    # explode+hash stage (the dominant cost) onto one task
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
     ex = docs.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
     )
     hashed = ex.select(
         id_col,
         *[
-            hash60_col(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+            h60(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
             for i in range(n_perms)
         ],
     )
@@ -77,13 +90,13 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int) -> 
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n_perms: int = MINHASH_PERMS) -> DataFrame:
+                      n_perms: int = MINHASH_PERMS, hash_mode: str = "oracle") -> DataFrame:
     """(id, perm, minhash) — perm i applies hash60(i || ':' || shingle).
 
     shingle -> minhash -> band -> bucket-join is the classic pipeline;
     computed wide (one pass) then unpivoted to the long shape.
     """
-    wide = _minhash_wide(docs, text_col, id_col, n_perms)
+    wide = _minhash_wide(docs, text_col, id_col, n_perms, hash_mode)
     stack = ", ".join(f"{i}, h{i}" for i in range(n_perms))
     return wide.selectExpr(
         id_col, f"stack({n_perms}, {stack}) AS (perm, minhash)"
@@ -91,14 +104,15 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                      n_perms: int = MINHASH_PERMS, band_size: int = 2) -> DataFrame:
+                      n_perms: int = MINHASH_PERMS, band_size: int = 2,
+                      hash_mode: str = "oracle") -> DataFrame:
     """Candidate near-dup pairs: ids sharing any LSH band bucket.
 
     Band hash = md5 of the concatenated minhashes in the band; the
     self-join is an equi-join on (band, band_hash) — bucketed, never
     all-pairs.
     """
-    wide = _minhash_wide(docs, text_col, id_col, n_perms)
+    wide = _minhash_wide(docs, text_col, id_col, n_perms, hash_mode)
     n_bands = n_perms // band_size
     # band hash: minhashes concatenated in perm order, straight from the
     # wide columns — no collect_list, no second shuffle
@@ -150,12 +164,18 @@ aggregate(
 
 
 def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n_bits: int = SIMHASH_BITS) -> DataFrame:
+                  n_bits: int = SIMHASH_BITS, hash_mode: str = "oracle") -> DataFrame:
     """60-bit SimHash over distinct whitespace tokens — pure column
     algebra, JVM-side, one pass, no shuffle."""
+    from borges_spark.functions.text import pick_hash60
+
+    h60 = pick_hash60(hash_mode)
+    # parallelize past the source's row-group granularity (see _minhash_wide)
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     hashed = docs.select(
-        F.col(id_col), F.transform(toks, lambda t: hash60_col(t)).alias("_hashes")
+        F.col(id_col), F.transform(toks, lambda t: h60(t)).alias("_hashes")
     )
     return hashed.select(
         id_col,
@@ -164,11 +184,12 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
 
 
 def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                          max_hamming: int = 3, n_blocks: int = 4) -> DataFrame:
+                          max_hamming: int = 3, n_blocks: int = 4,
+                          hash_mode: str = "oracle") -> DataFrame:
     """Hamming-ball candidate pairs via the block trick: split the 60-bit
     hash into n_blocks; any pair within distance max_hamming < n_blocks
     must agree on >=1 block -> equi-join per block, verify distance."""
-    sh = simhash_table(docs, text_col, id_col)
+    sh = simhash_table(docs, text_col, id_col, hash_mode=hash_mode)
     block_bits = SIMHASH_BITS // n_blocks
     mask = (1 << block_bits) - 1
     block_expr = (
@@ -207,6 +228,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     the pair's full shingle sets. A pair sharing only ubiquitous
     shingles is by definition template overlap, not near-duplication.
     """
+    # parallelize past the source's row-group granularity (see _minhash_wide)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
     sh = docs.select(
         F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
     )
@@ -301,6 +324,7 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding", id_col: 
     """Near-dup vectors within coarse buckets (a label / cluster id /
     LSH bucket): equi-join on bucket bounds the pair count, then exact
     cosine verification. The all-pairs version is deliberately absent."""
+    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, id_col)
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(bucket_col).alias("bk"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(bucket_col).alias("bk"))
     cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))

@@ -80,6 +80,66 @@ def add_sequence_with_total(
     return sorted_df.mapInPandas(assign, out_schema), total
 
 
+def add_group_sequence(
+    df: DataFrame,
+    group_col: str,
+    order_within: list | None,
+    col_name: str,
+    start: int = 0,
+    existing_rank_col: str | None = None,
+    caches: list | None = None,
+) -> tuple[DataFrame, int]:
+    """Dense global sequence in (group_col ASC, order_within) order —
+    the scale-path replacement for `add_sequence_with_total` when the
+    total order is group-major (host-major selection ranks, parent-major
+    discovery seqs).
+
+    Instead of a global range sort (sampling pass + range shuffle +
+    eager checkpoint), this decomposes the order:
+
+      1. row_number within each group (one keyed shuffle — or free when
+         `existing_rank_col` already holds a 1-based within-group rank,
+         e.g. the politeness window's host_rank);
+      2. per-group counts (map-side-combined aggregation -> n_groups
+         rows, orders of magnitude smaller than the data);
+      3. cumulative offsets over the counts in group order (a window
+         over n_groups rows — a single small task, never the data);
+      4. broadcast-join offsets back: seq = start + offset + rank - 1.
+
+    The assigned numbers are a pure function of the row data — never of
+    partition count — so N-core and 4N-core runs agree bit-for-bit.
+
+    Caller should persist `df` first: it is consumed by both the counts
+    aggregation and the final join (one materialization, two cheap reads).
+    Returns (df_with_seq, total_rows); the total falls out of the counts.
+    """
+    from pyspark.sql import Window
+
+    if existing_rank_col is None:
+        w = Window.partitionBy(group_col).orderBy(*order_within)
+        df = df.withColumn("_grank", F.row_number().over(w))
+        rank = "_grank"
+    else:
+        rank = existing_rank_col
+    counts = df.groupBy(group_col).agg(F.count("*").alias("_gcnt"))
+    woff = Window.orderBy(F.col(group_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        group_col, F.coalesce(F.sum("_gcnt").over(woff), F.lit(0)).alias("_goff"), "_gcnt"
+    ).persist()
+    if caches is not None:
+        caches.append(offsets)
+    total_row = offsets.agg(F.max(F.col("_goff") + F.col("_gcnt")).alias("t")).first()
+    total = int(total_row["t"]) if total_row and total_row["t"] is not None else 0
+    out = (
+        df.join(F.broadcast(offsets.drop("_gcnt")), group_col)
+        .withColumn(col_name, (F.lit(start) + F.col("_goff") + F.col(rank) - 1).cast("long"))
+        .drop("_goff")
+    )
+    if existing_rank_col is None:
+        out = out.drop("_grank")
+    return out, total
+
+
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     """MERGE INTO emulation: rows in `updates` replace same-key rows in
     `target`; unmatched update rows are inserted.

@@ -39,6 +39,14 @@ class PolitenessConfig:
     # models ECS/paper_html.py:39-42.
     host_windows: tuple[tuple[str, int, int], ...] = ()
     start_hour: int = 0  # hour-of-day of round 0
+    # skew protection for the selection window: when every host budget k
+    # is <= skew_prune_max_k, a salted pre-window keeps only the top-k
+    # per (host, salt) so a hot host owning half the frontier never
+    # funnels all its pending rows through ONE sort task — the exact
+    # window then re-ranks <= n_salts*k survivors per host. Disabled for
+    # huge budgets where pruning keeps ~everything (pure overhead).
+    skew_prune_salts: int = 8
+    skew_prune_max_k: int = 10_000
 
 
 def budget_for(delay_s: float, round_budget_s: float) -> tuple[int, int]:
@@ -119,6 +127,22 @@ def select_round(
         order = [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
     else:
         order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+
+    # hot-host skew pre-prune: the true per-host top-k is a subset of the
+    # union of per-(host, salt) top-k's, so pruning first is lossless; the
+    # salt is a pure function of url_hash, keeping selection deterministic
+    # and parallelism-invariant. Only engaged when k is bounded enough
+    # for the prune to actually discard rows.
+    ks = [budget_for(d, cfg.round_budget_s)[0] for _, d in cfg.host_delays] + [dk]
+    if cfg.skew_prune_salts > 1 and max(ks) <= cfg.skew_prune_max_k:
+        salt = F.pmod(F.col("url_hash"), F.lit(cfg.skew_prune_salts)).cast("int")
+        w_pre = Window.partitionBy("host", "_salt").orderBy(*order)
+        joined = (
+            joined.withColumn("_salt", salt)
+            .withColumn("_pre_rank", F.row_number().over(w_pre))
+            .filter(F.col("_pre_rank") <= F.col("k"))
+            .drop("_salt", "_pre_rank")
+        )
 
     w = Window.partitionBy("host").orderBy(*order)
     return (

@@ -38,6 +38,35 @@ class BloomConfig:
     bits_per_shard: int = 1 << 20  # 128 KiB / shard
     n_hashes: int = 5
     max_fill: float = 0.5  # above this a shard spills to the exact tier
+    # probe strategy: 'broadcast' collects the shards to the driver and
+    # broadcasts them (right for small filters); 'cogroup' probes
+    # executor-side via a shard-keyed cogroup (no driver collect — the
+    # only strategy that works once the filter is sized for 10^9+ keys);
+    # 'auto' picks by total filter size vs broadcast_max_bytes
+    probe: str = "auto"
+    broadcast_max_bytes: int = 32 * 1024 * 1024
+
+    @classmethod
+    def sized_for(
+        cls,
+        expected_keys: int,
+        bits_per_key: int = 12,
+        shard_bits: int = 1 << 23,
+        **kw,
+    ) -> "BloomConfig":
+        """Size the filter from expected seen-set cardinality: ~12
+        bits/key keeps the fill ratio near 1-e^(-5/12) ≈ 0.34 < max_fill
+        at capacity (k=5 hashes), i.e. the shards never spill to the
+        exact tier below `expected_keys`. 10^10 URLs => ~15 GB of shards
+        spread over ~14k 1-MiB shards — executor-resident (cogroup
+        probe), never a driver broadcast."""
+        total_bits = max(expected_keys, 1) * bits_per_key
+        n_shards = max(1, -(-total_bits // shard_bits))
+        return cls(n_shards=int(n_shards), bits_per_shard=int(shard_bits), **kw)
+
+    @property
+    def total_bytes(self) -> int:
+        return self.n_shards * self.bits_per_shard // 8
 
 
 def _positions(hashes: np.ndarray, cfg: BloomConfig) -> tuple[np.ndarray, np.ndarray]:
@@ -124,16 +153,85 @@ def filter_unseen(
     seen: DataFrame,
     shards: DataFrame | None = None,
     cfg: BloomConfig = BloomConfig(),
+    caches: list | None = None,
 ) -> DataFrame:
     """Exact set-difference candidates ∖ seen on `url_hash`.
 
     With `shards` (built by build_seen_shards) the Bloom pre-pass routes
     definite-new rows around the shuffle; without it this degrades to
     the plain exact anti-join.
+
+    The flagged frame is persisted (appended to `caches` when given) so
+    the probe UDF runs ONCE over the candidates, not once per output
+    branch.
     """
     if shards is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
 
+    probe = cfg.probe
+    if probe == "auto":
+        probe = "broadcast" if cfg.total_bytes <= cfg.broadcast_max_bytes else "cogroup"
+    if probe == "cogroup":
+        flagged = _probe_cogroup(candidates, shards, cfg)
+    else:
+        flagged = _probe_broadcast(candidates, shards, cfg)
+    flagged = flagged.persist()
+    if caches is not None:
+        caches.append(flagged)
+    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    checked = needs_check.join(seen.select("url_hash"), "url_hash", "left_anti")
+    return definite_new.unionByName(checked)
+
+
+def _probe_cogroup(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
+    """Executor-side probe: candidates cogrouped with their Bloom shard
+    on `pmod(url_hash, n_shards)` — each task sees ONE shard's bitset
+    plus that shard's candidates, so the filter never moves through the
+    driver (a properly sized 10^10-key filter is ~15 GB — collecting it
+    per round, as the round-1 implementation did, is a driver OOM).
+    Shuffle cost: the per-round candidate set only, keyed by shard."""
+    import pyspark.sql.types as _T
+
+    cand = candidates.withColumn(
+        "_shard", F.pmod("url_hash", F.lit(cfg.n_shards)).cast("int")
+    )
+    out_schema = _T.StructType(
+        [f for f in candidates.schema.fields]
+        + [_T.StructField("_maybe_seen", _T.BooleanType(), False)]
+    )
+    drop_cols = ["_shard"]
+
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        out = cand_pdf.drop(columns=drop_cols)
+        if len(out) == 0:
+            out["_maybe_seen"] = pd.Series([], dtype=bool)
+            return out
+        if len(shard_pdf) == 0:
+            out["_maybe_seen"] = False  # shard holds no seen URLs
+            return out
+        if (shard_pdf["tier"] == "exact").any():
+            out["_maybe_seen"] = True  # spill tier: always take the exact join
+            return out
+        bits = np.zeros(cfg.bits_per_shard // _WORD_BITS, dtype=np.uint64)
+        for blob in shard_pdf["bloom_bits"]:
+            bits |= np.frombuffer(blob, dtype=np.uint64)
+        h = cand_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
+        rows, pos = _positions(h, cfg)
+        hit = bits[(pos // _WORD_BITS).astype(np.int64)] >> (pos % _WORD_BITS) & np.uint64(1)
+        out["_maybe_seen"] = hit.reshape(-1, cfg.n_hashes).all(axis=1)
+        return out
+
+    return (
+        cand.groupBy("_shard")
+        .cogroup(shards.groupBy("shard"))
+        .applyInPandas(lambda left, right: probe(left, right), out_schema)
+    )
+
+
+def _probe_broadcast(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
+    """Driver-broadcast probe — right when the whole filter is small
+    (tests, small crawls): one vectorized pandas UDF, no shuffle."""
     spark = candidates.sparkSession
     shard_rows = shards.collect()
     filters = {
@@ -165,8 +263,4 @@ def filter_unseen(
             out[mask] = hit.reshape(-1, c.n_hashes).all(axis=1)
         return pd.Series(out)
 
-    flagged = candidates.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))
-    definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
-    needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    checked = needs_check.join(seen.select("url_hash"), "url_hash", "left_anti")
-    return definite_new.unionByName(checked)
+    return candidates.withColumn("_maybe_seen", maybe_seen(F.col("url_hash")))

@@ -47,9 +47,26 @@ class SnapshotStore:
         """Write all datasets for a round, then commit atomically."""
         rdir = self._round_dir(round_no)
         counts: dict[str, int] = {}
-        for name, df in datasets.items():
-            path = os.path.join(rdir, name)
-            df.write.mode("overwrite").parquet(path)
+        write_times: dict[str, float] = {}
+
+        # The datasets are independent (shared parents are already cached
+        # by the engine), so submit the write jobs CONCURRENTLY — Spark's
+        # scheduler interleaves their stages, overlapping each job's
+        # driver-side planning latency with the others' executor work.
+        # The commit point (LATEST rename) still happens only after every
+        # write has finished, so atomicity is unchanged.
+        def _write(item):
+            name, df = item
+            t0 = time.time()
+            df.write.mode("overwrite").parquet(os.path.join(rdir, name))
+            return name, round(time.time() - t0, 2)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(datasets)) as pool:
+            for name, secs in pool.map(_write, datasets.items()):
+                write_times[name] = secs
+        self.last_write_times = write_times
         manifest = {
             "round": round_no,
             "datasets": sorted(datasets),

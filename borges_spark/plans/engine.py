@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from borges_spark.functions.urls import canonicalize_url_col, url_hash_col, url_host_col
 from borges_spark.operators.frontier import (
+    add_group_sequence,
     add_sequence_with_total,
     error_class_col,
     merge_upsert,
@@ -63,6 +64,11 @@ class CrawlConfig:
     fetch_mode: str = "table"
     fetch_timeout_s: float = 10.0
     use_bloom: bool = True
+    # table-mode fetch: rounds selecting at most this many URLs broadcast
+    # the whole selected row-set into the pages scan (one streamed pass,
+    # zero exchanges); larger rounds fall back to a broadcast URL semi-
+    # filter + a Σk-x-Σk shuffle join (still never shuffles the page store)
+    broadcast_fetch_limit: int = 2_000_000
     # hot-host fetch fan-out (SURVEY.md §4 strategy 2): hosts with >= this
     # many selected rows in a round spread over `n_salts` fetch sub-keys
     hot_host_threshold: int = 1000
@@ -101,6 +107,15 @@ class CrawlEngine:
         self.cfg = cfg
         self.robots = robots  # (host, disallow_prefixes); reference disables robots (settings.py:23)
         self.budgets = budgets_df(spark, cfg.politeness)
+        self._n_pages: int | None = None
+
+    def _pages_count(self) -> int:
+        """Page-store row count, computed once per engine (for parquet
+        sources this is a metadata-only scan). Drives the fetch-join
+        strategy choice; staleness only shifts a plan threshold."""
+        if self._n_pages is None:
+            self._n_pages = self.pages.count()
+        return self._n_pages
 
     # -- initialization --------------------------------------------------
     def init_frontier(self) -> DataFrame:
@@ -152,11 +167,20 @@ class CrawlEngine:
         shards: DataFrame | None,
         round_no: int,
         next_seq: int,
+        caches: list | None = None,
     ) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame, int, int]:
         """Returns (new_frontier, new_shards, crawl_log, metrics,
         n_selected, next_seq). `shards` is the incremental Bloom seen-set
-        (None when use_bloom is off or on the first round)."""
+        (None when use_bloom is off or on the first round). Persisted
+        intermediates are appended to `caches`; the caller unpersists
+        them after the snapshot commit."""
+        import time as _t
+
         cfg = self.cfg
+        self.phase_times: dict[str, float] = {}
+        _t0 = _t.time()
+        if caches is None:
+            caches = []
         eligible = frontier.filter(
             (F.col("state") == "pending")
             & (F.col("attempts") < cfg.max_attempts)
@@ -165,11 +189,21 @@ class CrawlEngine:
         eligible = self._apply_robots(eligible)
         selected = select_round(eligible, self.budgets, round_no, cfg.politeness, cfg.order_mode)
 
-        if cfg.order_mode == "fifo":
-            order = [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
-        else:
-            order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()]
-        selected, n_selected = add_sequence_with_total(selected, order, "rank_in_round", start=1)
+        # Within-round total order is HOST-MAJOR: (host ASC, host_rank ASC)
+        # — hosts are fetched in parallel, so cross-host interleaving is
+        # bookkeeping, not semantics; per-host order stays the documented
+        # priority/fifo order from the politeness window. Host-major lets
+        # the dense rank derive from host_rank + per-host offsets (a
+        # counts cumsum) instead of a second global range sort per round —
+        # the control-plane cost that broke N->4N scaling in round 1.
+        selected = selected.persist()
+        caches.append(selected)
+        selected, n_selected = add_group_sequence(
+            selected, "host", None, "rank_in_round",
+            start=1, existing_rank_col="host_rank", caches=caches,
+        )
+        self.phase_times["select_s"] = round(_t.time() - _t0, 2)
+        _t0 = _t.time()
         if n_selected == 0:
             return frontier, shards, None, None, 0, next_seq
 
@@ -177,52 +211,8 @@ class CrawlEngine:
         # hot politeness buckets fan out over salted sub-keys; the salt
         # shapes the parse-stage partitioning below (in a live deployment
         # the HTTP fetch itself runs inside that host-grouped stage)
-        from borges_spark.operators.credentials import salt_hot_hosts
-
-        salted = salt_hot_hosts(selected, cfg.hot_host_threshold, cfg.n_salts)
-        if cfg.fetch_mode == "http":
-            # live fetch (or file:// offline): partition by the salted
-            # host key first so one host's budget shares a session
-            from borges_spark.sources.fetcher import fetch_urls
-
-            salted = salted.repartition(
-                self.spark.sparkContext.defaultParallelism, "host", "host_salt"
-            )
-            fetched = fetch_urls(salted, cfg.fetch_timeout_s).withColumn(
-                "lang", F.lit(None).cast("string")
-            )
-        else:
-            page_side = self.pages.select(
-                F.col("url"), F.col("html"), F.col("lang").alias("_page_lang")
-            )
-            fetched = salted.join(page_side, "url", "left")
-            fail_injected = (
-                (F.lit(cfg.fail_every) > 0)
-                & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
-                & (F.col("attempts") == 0)
-            )
-            status = (
-                F.when(F.col("html").isNull(), F.lit(404))
-                .when(fail_injected, F.lit(503))
-                .otherwise(F.lit(200))
-            )
-            fetched = fetched.withColumn("status", status).withColumn(
-                "html", F.when(F.col("status") == 200, F.col("html"))
-            ).withColumn("lang", F.col("_page_lang")).drop("_page_lang")
-
-        # -- parse: Arrow-batched decode + extract ------------------------
-        # partition by (host, host_salt): one host's pages batch to the
-        # same Python worker (session/cache locality) unless salted hot
-        parse_in = (
-            fetched.select(
-                *_FRONTIER_COLS, "host_salt", "host_rank", "rank_in_round", "status", "lang", "html"
-            )
-            .repartition(self.spark.sparkContext.defaultParallelism, "host", "host_salt")
-            .drop("host_salt")
-        )
-
         def _parse(it):
-            import pandas as pd
+            import pandas as pd  # noqa: F401
 
             from borges_spark.functions.html import decode_html, extract_links, extract_text
 
@@ -237,8 +227,87 @@ class CrawlEngine:
                 out["n_links"] = [len(ls) for ls in links]
                 yield out
 
-        parsed = parse_in.mapInPandas(_parse, _PARSE_SCHEMA)
-        parsed = parsed.localCheckpoint(eager=True)  # small (≤ Σk per round); cut lineage
+        _parse_cols = [*_FRONTIER_COLS, "host_rank", "rank_in_round", "status", "lang", "html"]
+
+        if cfg.fetch_mode == "http":
+            # live fetch (or file:// offline): hot politeness buckets fan
+            # out over salted sub-keys; partition by the salted host key
+            # so one host's budget shares a session, then parse in place
+            from borges_spark.operators.credentials import salt_hot_hosts
+            from borges_spark.sources.fetcher import fetch_urls
+
+            salted = salt_hot_hosts(selected, cfg.hot_host_threshold, cfg.n_salts)
+            salted = salted.repartition(
+                self.spark.sparkContext.defaultParallelism, "host", "host_salt"
+            )
+            fetched = fetch_urls(salted, cfg.fetch_timeout_s).withColumn(
+                "lang", F.lit(None).cast("string")
+            )
+            parsed = fetched.select(*_parse_cols).mapInPandas(_parse, _PARSE_SCHEMA)
+            # Lazy cache, NOT an eager localCheckpoint: the first consumer
+            # materializes it as a side effect; later consumers (crawl_log,
+            # routing, metrics, snapshot writes) read the cached Σk rows.
+            parsed = parsed.persist()
+            caches.append(parsed)
+        else:
+            # Table-mode fetch: the page store is the 100 TB side — it must
+            # never shuffle. One streamed pass over the pages scan:
+            # broadcast-SEMI against the selected URL set, then broadcast-
+            # INNER against the (small, html-free) selected rows, then parse
+            # directly on the scan partitioning — table-mode parse is
+            # stateless, so the host-locality repartition (an html-payload
+            # shuffle) buys nothing. Round 1 shipped `selected LEFT JOIN
+            # pages`, which re-shuffled the whole page store every round.
+            fail_injected = (
+                (F.lit(cfg.fail_every) > 0)
+                & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
+                & (F.col("attempts") == 0)
+            )
+            page_side = self.pages.select("url", "html", F.col("lang").alias("_page_lang"))
+            n_pages = self._pages_count()
+            if n_selected > n_pages // 4:
+                # the round selects a large fraction of the store (stress/
+                # drain workloads): a prefilter discards almost nothing, so
+                # the plain shuffle equi-join is the minimal plan — parallel
+                # shuffle work instead of a driver-fixed broadcast build
+                hits = page_side.join(selected, "url")
+            elif n_selected <= cfg.broadcast_fetch_limit:
+                # politeness-bounded round (Σk << page store): broadcast-
+                # inner filters pages AND attaches the selected columns in
+                # one streamed pass — zero exchanges, no pages shuffle
+                hits = page_side.join(F.broadcast(selected), "url")
+            else:
+                # Σk too large to broadcast whole rows but still small vs
+                # the store: broadcast only the URL set as a semi-filter
+                # (no pages shuffle), then a shuffle join of Σk-sized sides
+                hits = page_side.join(
+                    F.broadcast(selected.select("url")), "url", "left_semi"
+                ).join(selected, "url")
+            hits = (
+                hits
+                .withColumn("status", F.when(fail_injected, F.lit(503)).otherwise(F.lit(200)))
+                .withColumn("html", F.when(~fail_injected, F.col("html")))
+                .withColumn("lang", F.col("_page_lang"))
+            )
+            parsed_hits = hits.select(*_parse_cols).mapInPandas(_parse, _PARSE_SCHEMA)
+            parsed_hits = parsed_hits.persist()
+            caches.append(parsed_hits)
+            # misses (no page in the store -> 404) never touch the parser;
+            # derived from the CACHED hits, not a second pages scan
+            misses = (
+                selected.join(F.broadcast(parsed_hits.select("url")), "url", "left_anti")
+                .withColumn("status", F.lit(404))
+                .withColumn("lang", F.lit(None).cast("string"))
+                .withColumn("text", F.lit(None).cast("string"))
+                .withColumn("links", F.lit(None).cast("array<string>"))
+                .withColumn("n_links", F.lit(0))
+            )
+            parsed = parsed_hits.unionByName(
+                misses.select(*[f.name for f in parsed_hits.schema.fields])
+            ).persist()  # the union (incl. the misses broadcast-anti) is
+            # consumed by crawl_log, frontier routing, and metrics — cache
+            # it so the concurrent snapshot writers share one computation
+            caches.append(parsed)
 
         crawl_log = parsed.select(
             F.lit(round_no).alias("round"),
@@ -266,7 +335,9 @@ class CrawlEngine:
             )
             .withColumn("url_hash", url_hash_col("url"))
             .withColumn("host", url_host_col("url"))
+            .persist()  # consumed by the bloom split (both branches) + metrics
         )
+        caches.append(candidates)
 
         # OPIC cash flow (order_mode='opic'): every fetched page splits
         # its integer-valued cash equally over its out-link occurrences.
@@ -282,12 +353,25 @@ class CrawlEngine:
                 .agg(F.sum("cash").alias("cash_add"))
             )
 
-        unseen = filter_unseen(candidates, frontier, shards, cfg.bloom)
-
-        new_rows, n_new = add_sequence_with_total(
-            unseen, [F.col("parent_rank").asc(), F.col("link_pos").asc(), F.col("url_hash").asc()],
-            "discovered_seq", start=next_seq,
+        unseen = filter_unseen(candidates, frontier, shards, cfg.bloom, caches=caches).persist()
+        caches.append(unseen)
+        # Discovery order is parent-major: (parent_rank ASC, link_pos ASC,
+        # url_hash ASC) — same group-decomposed dense numbering as the
+        # selection rank, no global range sort. Parents are bucketed 4096
+        # per group so the offsets cumsum runs over n_selected/4096 rows
+        # (one tiny task) instead of one row per parent; the total order
+        # is unchanged because the bucket id is a monotone function of
+        # parent_rank and parent_rank leads the within-bucket sort.
+        unseen_b = unseen.withColumn(
+            "_pbucket", F.floor(F.col("parent_rank") / F.lit(4096)).cast("long")
         )
+        new_rows, n_new = add_group_sequence(
+            unseen_b, "_pbucket",
+            [F.col("parent_rank").asc(), F.col("link_pos").asc(), F.col("url_hash").asc()],
+            "discovered_seq", start=next_seq, caches=caches,
+        )
+        new_rows = new_rows.drop("_pbucket")
+        self.phase_times["fetch_parse_discover_s"] = round(_t.time() - _t0, 2)
         if cfg.order_mode == "opic":
             new_priority = F.coalesce(F.col("cash_add"), F.lit(0.0))
             new_rows = new_rows.join(contrib, "url", "left")
@@ -302,7 +386,11 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
             F.lit(round_no + 1).alias("next_allowed_round"),
-        )
+        ).persist()  # consumed by the frontier merge, metrics, and the shard build
+        caches.append(new_rows)
+        new_rows.count()  # materialize ONCE — the three consumers run as
+        # concurrent snapshot writes, and concurrent cache misses would
+        # each recompute the plan instead of sharing it
 
         # -- frontier state transitions -----------------------------------
         updated = route_fetch_outcomes(
@@ -329,26 +417,34 @@ class CrawlEngine:
             new_shards = merge_seen_shards(shards, new_rows.select("url_hash"), cfg.bloom)
 
         # -- lineage counters (A2: per-host per-round) ---------------------
-        sched = parsed.groupBy("host").agg(
-            F.count("*").alias("scheduled"),
-            F.sum((F.col("status") == 200).cast("long")).alias("fetched"),
-            F.sum((F.col("status") == 200).cast("long")).alias("parsed"),
-            F.sum((F.col("status") != 200).cast("long")).alias("errors"),
-        )
-        discovered = new_rows.groupBy("host").agg(F.count("*").alias("new_urls"))
-        # dedup_hits = candidate links rejected by the seen set, per host
-        cand_by_host = candidates.groupBy("host").agg(F.count("*").alias("_n_cand"))
-        metrics = (
-            sched.join(discovered, "host", "full_outer")
-            .join(cand_by_host, "host", "full_outer")
-            .select(
-                F.lit(round_no).alias("round"),
-                "host",
-                *[F.coalesce(c, F.lit(0)).alias(c) for c in ("scheduled", "fetched", "parsed", "errors", "new_urls")],
-                (F.coalesce("_n_cand", F.lit(0)) - F.coalesce("new_urls", F.lit(0)))
-                .cast("long")
-                .alias("dedup_hits"),
+        # single tagged union + ONE groupBy shuffle (instead of three
+        # aggregations stitched with two full-outer joins): every source
+        # contributes zero-padded counter columns; sums per host
+        ok = (F.col("status") == 200).cast("long")
+        zero = F.lit(0).cast("long")
+        tagged = (
+            parsed.select(
+                "host", F.lit(1).cast("long").alias("scheduled"), ok.alias("fetched"),
+                ok.alias("parsed"), (1 - ok).alias("errors"),
+                zero.alias("new_urls"), zero.alias("_n_cand"),
             )
+            .unionByName(new_rows.select(
+                "host", zero.alias("scheduled"), zero.alias("fetched"), zero.alias("parsed"),
+                zero.alias("errors"), F.lit(1).cast("long").alias("new_urls"), zero.alias("_n_cand"),
+            ))
+            .unionByName(candidates.select(
+                "host", zero.alias("scheduled"), zero.alias("fetched"), zero.alias("parsed"),
+                zero.alias("errors"), zero.alias("new_urls"), F.lit(1).cast("long").alias("_n_cand"),
+            ))
+        )
+        sums = tagged.groupBy("host").agg(
+            *[F.sum(c).alias(c) for c in ("scheduled", "fetched", "parsed", "errors", "new_urls", "_n_cand")]
+        )
+        metrics = sums.select(
+            F.lit(round_no).alias("round"),
+            "host",
+            "scheduled", "fetched", "parsed", "errors", "new_urls",
+            (F.col("_n_cand") - F.col("new_urls")).cast("long").alias("dedup_hits"),
         )
         return new_frontier, new_shards, crawl_log, metrics, n_selected, next_seq + n_new
 
@@ -391,11 +487,17 @@ class CrawlEngine:
             latest = None
         shards: DataFrame | None = None
         if latest is None:
-            frontier = self.init_frontier()
+            # round 0's frontier is a lazy plan over the seed list; cache it
+            # so selection, the seen anti-join, and the merge don't each
+            # re-run the seed canonicalization window (later rounds read
+            # the committed snapshot instead — nothing to cache)
+            frontier = self.init_frontier().persist()
             start_round = 0
             next_seq = frontier.count()
             if self.cfg.use_bloom:
-                shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
+                # cache: consumed by the round-0 probe (collect) AND the
+                # round-0 snapshot writer — n_shards tiny rows
+                shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom).persist()
         else:
             frontier = store.read(spark, latest, "frontier")
             start_round = latest + 1
@@ -446,11 +548,14 @@ class CrawlEngine:
             import time as _time
 
             t0 = _time.time()
+            caches: list = []
             new_frontier, new_shards, crawl_log, metrics, n_sel, next_seq = self.run_round(
-                frontier, shards, r, next_seq
+                frontier, shards, r, next_seq, caches=caches
             )
             t1 = _time.time()
             if n_sel == 0:
+                for c in caches:
+                    c.unpersist()
                 break
             datasets = {"frontier": new_frontier, "crawl_log": crawl_log, "metrics": metrics}
             if new_shards is not None:
@@ -460,12 +565,15 @@ class CrawlEngine:
                 datasets,
                 meta={"next_seq": next_seq, "n_selected": n_sel, "compute_s": round(t1 - t0, 2)},
             )
+            for c in caches:
+                c.unpersist()
             round_stats.append(
                 {
                     "round": r,
                     "n_selected": n_sel,
                     "compute_s": round(t1 - t0, 2),
                     "commit_s": round(_time.time() - t1, 2),
+                    **getattr(self, "phase_times", {}),
                 }
             )
             if self.cfg.verbose:
@@ -475,7 +583,10 @@ class CrawlEngine:
                     flush=True,
                 )
             # snapshot-backed re-reads: O(1) plan size per round
+            frontier.unpersist()  # no-op except the cached round-0 frontier
             frontier = store.read(spark, r, "frontier")
+            if shards is not None:
+                shards.unpersist()  # no-op except the cached round-0 shards
             shards = store.read(spark, r, "seen_shards") if new_shards is not None else None
             rounds_run += 1
 

@@ -86,12 +86,16 @@ def simulate_crawl(
             e for e in frontier.values()
             if e.state == "pending" and e.attempts < max_attempts and e.next_allowed_round <= r
         ]
-        # host gates + per-host top-k budget
+        # host gates + per-host top-k budget; within-round total order is
+        # HOST-MAJOR (host ASC, then the per-host priority/fifo order) —
+        # matching the engine, whose dense rank derives from host_rank +
+        # per-host offsets rather than a global cross-host sort
         selected: list[SimEntry] = []
         by_host: dict[str, list[SimEntry]] = {}
         for e in eligible:
             by_host.setdefault(e.host, []).append(e)
-        for host, entries in by_host.items():
+        for host in sorted(by_host):
+            entries = by_host[host]
             d = delays.get(host, politeness.default_delay_s)
             k, m = budget_for(d, politeness.round_budget_s)
             if r % m != 0:
@@ -110,10 +114,6 @@ def simulate_crawl(
 
         if not selected:
             break
-        if order_mode == "fifo":
-            selected.sort(key=lambda e: (e.discovered_seq, e.url_hash))
-        else:
-            selected.sort(key=lambda e: (-e.priority, e.discovered_seq, e.url_hash))
 
         # fetch + parse, in rank order; discoveries appended FIFO
         new_this_round: list[tuple[str, int]] = []  # (url, depth)

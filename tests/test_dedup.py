@@ -86,3 +86,35 @@ def test_duplicate_groups_chain(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
     got = {r["doc_id"]: r["group_id"] for r in D.duplicate_groups(ids, pairs).collect()}
     assert all(v == 0 for v in got.values())
+
+
+def test_fast_hash_mode_same_verified_pairs(spark):
+    """hash_mode='fast' (xxhash64, the production path) must find the
+    same VERIFIED near-dup pairs as the md5 oracle path on a corpus of
+    clear duplicates + clearly distinct docs (LSH candidates may differ
+    per hash; verified pairs for unambiguous dups must not)."""
+    import borges_spark.operators.dedup as D
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about distributed query engines",
+        "a third unrelated document mentioning parquet row groups",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((2 * i, t))
+        rows.append((2 * i + 1, t))  # exact duplicate partner
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expected = {(0, 1), (2, 3), (4, 5)}
+
+    for mode in ("oracle", "fast"):
+        mh = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(docs, hash_mode=mode).collect()
+        }
+        assert mh == expected, f"minhash pairs under {mode}: {mh}"
+        sh = {
+            (r["id_a"], r["id_b"])
+            for r in D.simhash_neardup_pairs(docs, hash_mode=mode).collect()
+        }
+        assert sh == expected, f"simhash pairs under {mode}: {sh}"

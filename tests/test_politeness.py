@@ -70,3 +70,34 @@ def test_time_window_gate(spark):
     assert sel_noon.filter(F.col("host") == "day.com").count() == 3
     sel_night = select_round(fr, budgets, 8, cfg, "fifo")  # hour 20 -> open
     assert sel_night.filter(F.col("host") == "night.com").count() == 3
+
+
+def test_skew_prune_preserves_selection(spark):
+    """A 50%-single-host frontier: the salted pre-window must select
+    EXACTLY the rows the plain window selects (the prune is lossless),
+    while bounding any one sort task to ~k rows per (host, salt)."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"https://hot.com/{i}", i) for i in range(5000)] + [
+        (f"https://h{i%50}.org/{i}", 5000 + i) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "url string, seq long").select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+        F.col("seq").alias("discovered_seq"),
+        (F.lit(1.0) / (1 + F.col("seq") % 7)).alias("priority"),
+    )
+    budgets = budgets_df(spark, PolitenessConfig())
+    pruned_cfg = PolitenessConfig(default_delay_s=2.0, skew_prune_salts=8)
+    plain_cfg = PolitenessConfig(default_delay_s=2.0, skew_prune_salts=1)
+    got_pruned = sorted(
+        (r["url"], r["host_rank"])
+        for r in select_round(df, budgets_df(spark, pruned_cfg), 0, pruned_cfg).collect()
+    )
+    got_plain = sorted(
+        (r["url"], r["host_rank"])
+        for r in select_round(df, budgets_df(spark, plain_cfg), 0, plain_cfg).collect()
+    )
+    assert got_pruned == got_plain
+    assert len(got_pruned) == 51 * 30  # k=30 per host, 51 hosts

@@ -129,3 +129,65 @@ def test_parse_documents_spark(spark):
     assert out["d1"]["authors"] == ["Jane Smith", "Ken Tanaka"]
     assert out["d2"]["doi"] is None and "missing_doi" in out["d2"]["notes"]
     assert out["e1"]["full_text"] == "Intro text. More text."
+
+
+# --- RSC article-page extraction (Borges/spiders/RSC/metadata.py:73-118) ---
+
+RSC_ARTICLE = b"""<html><body>
+<div class="page-head__vcenter"><span>Analyst</span><span>other</span></div>
+<div id="tabissues"><div class="h--heading4">Volume 148 2023, Issue 12</div></div>
+<span class="capsule__context">Paper<img src="oa.png"/></span>
+<div class="article__title"><h2 class="capsule__title">Sensing of <i>trace</i> metals</h2></div>
+<div class="capsule__text">We report a sensor for trace metals.</div>
+<dl><dd class="c__24"><a class="text--small">https://doi.org/10.1039/D3AN00001A</a></dd></dl>
+<label class="input__label">Jane Smith</label>
+<label class="input__label">Ken Tanaka</label>
+</body></html>"""
+
+RSC_COVER = b"""<html><body>
+<span class="capsule__context">Cover</span>
+<div class="article__title"><h2 class="capsule__title">Front cover</h2></div>
+<dl><dd class="c__24"><a class="text--small">https://doi.org/10.1039/D3AN90001X</a></dd></dl>
+</body></html>"""
+
+RSC_NO_DOI = b"""<html><body>
+<span class="capsule__context">Paper</span>
+<div class="article__title"><h2 class="capsule__title">No identifier here</h2></div>
+<dl><dd class="c__24"><a class="text--small">not-a-doi-url</a></dd></dl>
+</body></html>"""
+
+
+def test_rsc_article_golden():
+    from borges_spark.functions.publishers import extract_rsc_html
+
+    out = extract_rsc_html("d1", RSC_ARTICLE)
+    # DOI from the displayed doi.org URL, split on '.org/' (metadata.py:94-95)
+    assert out["doi"] == "10.1039/D3AN00001A"
+    assert out["title"] == "Sensing of trace metals"  # tag-stripped
+    assert out["abstract"] == "We report a sensor for trace metals."
+    assert out["authors"] == ["Jane Smith", "Ken Tanaka"]
+    assert out["journal"] == "Analyst"
+    assert out["published_year"] == 2023  # ', 2023,' field, last 4 chars
+    assert out["issue"] == "12"
+    assert out["open_access"] is True  # img inside the context span
+    assert out["notes"] == []
+
+
+def test_rsc_excluded_type_and_missing_doi():
+    from borges_spark.functions.publishers import extract_rsc_html
+
+    cover = extract_rsc_html("d2", RSC_COVER)
+    assert "excluded_type" in cover["notes"]  # Cover (metadata.py:34,56)
+    assert cover["doi"] == "10.1039/D3AN90001X"
+    nodoi = extract_rsc_html("d3", RSC_NO_DOI)
+    assert nodoi["doi"] is None
+    assert "missing_doi" in nodoi["notes"]
+
+
+def test_rsc_through_dispatcher(spark):
+    rows = [("r1", "RSC", "rsc_html", bytearray(RSC_ARTICLE))]
+    df = spark.createDataFrame(rows, "doc_id string, publisher string, fmt string, body binary")
+    out = parse_documents(df).collect()[0]
+    assert out["publisher"] == "RSC"
+    assert out["doi"] == "10.1039/D3AN00001A"
+    assert out["authors"] == ["Jane Smith", "Ken Tanaka"]

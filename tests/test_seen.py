@@ -60,3 +60,47 @@ def test_incremental_merge_matches_batch(spark):
     seen = everything
     got = sorted(r["url"] for r in filter_unseen(cand, seen, incremental, cfg).collect())
     assert got == sorted(f"https://m.com/{i}" for i in range(350, 500))
+
+
+def test_cogroup_probe_matches_exact(spark):
+    """Executor-side probe (no driver collect of the filter) must agree
+    with both the broadcast probe and the exact anti-join."""
+    cfg = BloomConfig(n_shards=4, bits_per_shard=1 << 14, n_hashes=4, probe="cogroup")
+    seen = _hashed(spark, [f"https://h{i%5}.com/p/{i}" for i in range(500)])
+    cand = _hashed(spark, [f"https://h{i%5}.com/p/{i}" for i in range(250, 900)])
+    shards = build_seen_shards(seen, cfg)
+    got = sorted(r["url"] for r in filter_unseen(cand, seen, shards, cfg).collect())
+    exact = sorted(r["url"] for r in filter_unseen(cand, seen, None).collect())
+    assert got == exact
+
+
+def test_cogroup_probe_spill_and_empty_shards(spark):
+    # over-full shards (exact tier) and shards with no seen URLs, both
+    # through the cogroup path
+    cfg = BloomConfig(n_shards=8, bits_per_shard=256, n_hashes=4, max_fill=0.3, probe="cogroup")
+    seen = _hashed(spark, [f"https://x.com/{i}" for i in range(300)])
+    cand = _hashed(spark, [f"https://x.com/{i}" for i in range(200, 400)] + ["https://new.org/a"])
+    shards = build_seen_shards(seen, cfg)
+    got = sorted(r["url"] for r in filter_unseen(cand, seen, shards, cfg).collect())
+    exact = sorted(r["url"] for r in filter_unseen(cand, seen, None).collect())
+    assert got == exact
+
+
+def test_sized_for_stays_under_max_fill(spark):
+    """BloomConfig.sized_for(n) must keep every shard in the 'bloom'
+    tier at n keys — the round-1 default saturated and spilled
+    everything to the exact tier long before its documented target."""
+    n_keys = 20_000
+    cfg = BloomConfig.sized_for(n_keys, bits_per_key=12, shard_bits=1 << 16)
+    seen = _hashed(spark, [f"https://s{i%7}.com/{i}" for i in range(n_keys)])
+    shards = build_seen_shards(seen, cfg).collect()
+    assert all(r["tier"] == "bloom" for r in shards)
+    import numpy as np
+
+    for r in shards:
+        bits = np.frombuffer(bytes(r["bloom_bits"]), dtype=np.uint64)
+        fill = float(np.unpackbits(bits.view(np.uint8)).mean())
+        assert fill <= cfg.max_fill
+    # and the auto probe picks cogroup once the filter outgrows broadcast
+    big = BloomConfig.sized_for(10**9)  # ~1.5 GB of shards
+    assert big.total_bytes > big.broadcast_max_bytes
