@@ -1036,6 +1036,46 @@ SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: corpus and queries bucketed by the sign
+    pattern of 8 deterministic sin-based hyperplanes; candidates only
+    within the query's bucket, exact cosine rank inside. The bucket is
+    pure column algebra (JVM) and SQL-expressible, so the whole
+    approximate path gets an exact oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return S.lsh_bucketed_topk(corpus, queries, k=5, n_planes=8).select(
+        "query_id", "vec_id", "rank", "bucket"
+    )
+
+
+_ANN_LSH_SQL = """
+WITH src AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(list_sum(list_transform(range(0, 8), p ->
+           CASE WHEN list_sum(list_transform(range(0, len(embedding)), d ->
+                  embedding[CAST(d AS INT) + 1]::DOUBLE * sin((p + 1)::DOUBLE * (d + 1)::DOUBLE))) > 0
+                THEN pow(2.0, p::DOUBLE) ELSE 0.0 END)) AS INT) AS bucket
+  FROM embeddings
+), q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM src WHERE vec_id < 5),
+c AS (SELECT vec_id, v AS cv, bucket FROM src WHERE vec_id >= 5),
+scored AS (
+  SELECT q.query_id, c.vec_id, c.bucket,
+         round(list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2]))
+         / (sqrt(list_sum(list_transform(qv, x -> x * x))) * sqrt(list_sum(list_transform(cv, x -> x * x)))), 6) AS cos
+  FROM q JOIN c ON q.bucket = c.bucket
+), ranked AS (
+  SELECT query_id, vec_id, bucket,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, rank, bucket FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: corpus assigned to its nearest of 3 fixed
     centroids (vec_ids 0-2), queries (vec_ids 3-7) probe their 2
@@ -1309,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
+        "ann_lsh": q_ann_lsh,
         # non-SQL-expressible (rows-only)
         "publisher_parse": q_publisher_parse,
         "crawl_e2e": q_crawl_e2e,
@@ -1360,6 +1401,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_bruteforce": _ANN_BF_SQL,
         "ann_ivf": _ANN_IVF_SQL,
+        "ann_lsh": _ANN_LSH_SQL,
         "publisher_parse": _PUBLISHER_PARSE_SQL,
         # crawl_e2e / multimodal_features / streaming_window: rows-only
     }

@@ -232,8 +232,17 @@ def main() -> None:
         p_low = statistics.median(parse_low)
         p_high = statistics.median(parse_high)
 
-        crawl_low = _run_leg(["--leg", "crawl", "--cores", str(LOW), "--web", web_root])
-        crawl_high = _run_leg(["--leg", "crawl", "--cores", str(HIGH), "--web", web_root])
+        # crawl legs: interleaved L,H,L,H; report BEST per arm. This box
+        # is multi-tenant — a contended run can be 2-3x slower (observed:
+        # 11.3k vs 29.2k urls/s back-to-back at the same core count), and
+        # best-of rejects contention without favoring either arm. All
+        # samples are recorded alongside for honesty.
+        crawl_lows, crawl_highs = [], []
+        for _ in range(2):
+            crawl_lows.append(_run_leg(["--leg", "crawl", "--cores", str(LOW), "--web", web_root]))
+            crawl_highs.append(_run_leg(["--leg", "crawl", "--cores", str(HIGH), "--web", web_root]))
+        crawl_low = max(crawl_lows, key=lambda c: c["urls_per_s"])
+        crawl_high = max(crawl_highs, key=lambda c: c["urls_per_s"])
 
         queries = _run_leg(["--leg", "headline"])
         hw = hardware_ceiling(LOW, HIGH)
@@ -261,10 +270,15 @@ def main() -> None:
             "wall_high_s": crawl_high["wall_s"],
             "scheduled": crawl_high["scheduled"],
             "parsed": crawl_high["parsed"],
+            "crawl_samples": {
+                "low": [c["urls_per_s"] for c in crawl_lows],
+                "high": [c["urls_per_s"] for c in crawl_highs],
+            },
             "scaling_efficiency": round(eff_total, 3),
             "scaling_efficiency_parse_stage": round(eff_parse, 3),
             "hardware_scaling_ceiling": round(hw, 3),
             "scaling_efficiency_vs_hardware": round(eff_parse / max(hw, 1e-9), 3),
+            "scaling_efficiency_full_round_vs_hardware": round(eff_total / max(hw, 1e-9), 3),
         },
     }
     print(json.dumps(out))

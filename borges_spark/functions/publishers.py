@@ -411,6 +411,129 @@ def extract_rsc_html(doc_id: str, raw: bytes) -> dict:
     }
 
 
+# --- Springer dc./prism. meta extraction
+#     (Borges/spiders/SpringerNature/scripts/SpringerXMLDataExtractor.py:
+#     85-232 pulls every field from dc.*/prism.* meta tags — a different
+#     vocabulary from the citation_* family). ---------------------------
+
+_NAMED_META_RE = re.compile(r'<meta\s+name="([A-Za-z._]+)"\s+content="([^"]*)"')
+
+
+def extract_springer_meta(doc_id: str, raw: bytes) -> dict:
+    """Springer meta-tag extraction with the reference's exact fallback
+    chain: DOI from `meta[name=DOI]`, else `prism.doi` with the 'doi:'
+    prefix stripped (:85-107), publisher dc.publisher with
+    inferred-SpringerNature note (:108-119), journal
+    prism.publicationName, issn prism.issn, issue prism.number, year =
+    dc.date's leading 4 digits (:156-165), title dc.title, authors
+    dc.creator reordered 'Last, First' -> 'First Last' (:192-207),
+    abstract dc.description."""
+    html = decode_html(raw)
+    fields: dict[str, list[str]] = {}
+    for name, content in _NAMED_META_RE.findall(html):
+        fields.setdefault(name, []).append(content.strip())
+
+    def first(name: str) -> str | None:
+        vals = fields.get(name)
+        return vals[0] if vals else None
+
+    notes: list[str] = []
+    doi = first("DOI")
+    if doi is None:
+        prism = first("prism.doi")
+        if prism is not None and "doi:" in prism:
+            doi = prism.split("doi:")[1]  # :103-104
+    if doi is None:
+        notes.append("missing_doi")  # "No DOI! Aborting..." (:99-102)
+
+    publisher = first("dc.publisher")
+    if publisher is None:
+        publisher = "SpringerNature"
+        notes.append("publisher_inferred")  # :118-119
+    elif publisher != "SpringerNature":
+        notes.append("publisher_not_springer")  # :115-116
+
+    year = None
+    date = first("dc.date")
+    if date:
+        y = date.split("-")[0]
+        if len(y) == 4 and y.isnumeric():  # :162-163 assert semantics
+            year = int(y)
+
+    authors: list[str] | None = []
+    for a in fields.get("dc.creator", []):
+        parts = a.split(", ")
+        if len(parts) >= 2:
+            authors.append(f"{parts[1]} {parts[0]}")  # :204 reorder
+        else:
+            authors = None  # reference nulls the whole list on error (:205-207)
+            notes.append("author_reorder_failed")
+            break
+    if authors is not None and not authors:
+        authors = None
+
+    return {
+        "doc_id": doc_id, "publisher": publisher, "doi": doi,
+        "title": first("dc.title"), "abstract": first("dc.description"),
+        "authors": authors, "journal": first("prism.publicationName"),
+        "issn": first("prism.issn"), "issue": first("prism.number"),
+        "published_year": year, "open_access": None,
+        "full_text": None, "contains_body": False, "notes": notes,
+    }
+
+
+# --- AIP issue-listing DOM extraction (the HTML-era path:
+#     Borges/spiders/AIP/aip_spider.py:93-131 parse_paper_meta walks the
+#     `.card-cont` cards of an issue listing). One listing page yields
+#     MANY paper rows — the only multi-row extractor in the family. ------
+
+_AIP_CARD_RE = re.compile(r'class="card-cont"')
+_AIP_OA_RE = re.compile(r'<span class="access-text"')  # :105-108
+_AIP_TITLE_RE = re.compile(r'<h4 class="hlFld-Title"[^>]*>(.*?)</h4>', re.DOTALL)  # :111-113
+_AIP_LINK_RE = re.compile(
+    r'<div class="art_title linkable"[^>]*>.*?<a[^>]*href="([^"]+)"', re.DOTALL
+)  # :115-119
+_AIP_AUTHOR_BLOCK_RE = re.compile(
+    r'class="hlFld-ContribAuthor"[^>]*>(.*?)</(?:span|div)>', re.DOTALL
+)  # :121-126
+_AIP_A_RE = re.compile(r"<a[^>]*>(.*?)</a>", re.DOTALL)
+_AIP_PDF_RE = re.compile(r'class="show-pdf"[^>]*href="([^"]+)"')  # :128-130
+
+
+def extract_aip_listing(doc_id: str, raw: bytes) -> list[dict]:
+    """AIP issue-listing cards -> one PAPER_SCHEMA row per paper
+    (aip_spider.py:95-131): DOI = last two path segments of the article
+    link (:119), open access = access-text span present (:105-108),
+    authors from the contributor links (:121-126)."""
+    html = decode_html(raw)
+    cards = [m.start() for m in _AIP_CARD_RE.finditer(html)]
+    rows: list[dict] = []
+    for i, start in enumerate(cards):
+        end = cards[i + 1] if i + 1 < len(cards) else len(html)
+        card = html[start:end]
+        notes: list[str] = []
+        link_m = _AIP_LINK_RE.search(card)
+        doi = None
+        if link_m:
+            doi = "/".join(link_m.group(1).split("/")[-2:])  # :119
+        if doi is None:
+            notes.append("missing_doi")
+        title_m = _AIP_TITLE_RE.search(card)
+        authors = []
+        for block in _AIP_AUTHOR_BLOCK_RE.findall(card):
+            authors.extend(_bs_text(a) for a in _AIP_A_RE.findall(block))
+        rows.append({
+            "doc_id": f"{doc_id}:{i}", "publisher": "AIP", "doi": doi,
+            "title": _bs_text(title_m.group(1)) if title_m else None,
+            "abstract": None, "authors": authors or None,
+            "journal": None, "issn": None, "issue": None,
+            "published_year": None,
+            "open_access": bool(_AIP_OA_RE.search(card)),
+            "full_text": None, "contains_body": False, "notes": notes,
+        })
+    return rows
+
+
 def parse_documents(df, fmt_col: str = "fmt"):
     """mapInPandas driver: (doc_id, publisher, fmt, body) -> PAPER_SCHEMA."""
 
@@ -427,6 +550,10 @@ def parse_documents(df, fmt_col: str = "fmt"):
                     rows.append(extract_meta_html(str(doc_id), raw, publisher))
                 elif fmt == "rsc_html":
                     rows.append(extract_rsc_html(str(doc_id), raw))
+                elif fmt == "aip_listing":
+                    rows.extend(extract_aip_listing(str(doc_id), raw))
+                elif fmt == "springer_meta":
+                    rows.append(extract_springer_meta(str(doc_id), raw))
                 else:
                     rows.append(extract_ecs_html(str(doc_id), raw))
             yield pd.DataFrame(rows)

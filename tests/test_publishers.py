@@ -191,3 +191,97 @@ def test_rsc_through_dispatcher(spark):
     assert out["publisher"] == "RSC"
     assert out["doi"] == "10.1039/D3AN00001A"
     assert out["authors"] == ["Jane Smith", "Ken Tanaka"]
+
+
+# --- AIP issue-listing cards (aip_spider.py:95-131) -------------------------
+
+AIP_LISTING = b"""<html><body>
+<div class="card-cont">
+ <div class="open-access"><span class="access-text">OPEN</span></div>
+ <h4 class="hlFld-Title">First <i>paper</i> title</h4>
+ <div class="art_title linkable"><a href="/doi/10.1063/5.0001234">x</a></div>
+ <span class="hlFld-ContribAuthor"><a>Jane Smith</a></span>
+ <span class="hlFld-ContribAuthor"><a>Ken Tanaka</a></span>
+ <a class="show-pdf" href="/doi/pdf/10.1063/5.0001234">pdf</a>
+</div>
+<div class="card-cont">
+ <div class="open-access"></div>
+ <h4 class="hlFld-Title">Second paper</h4>
+ <div class="art_title linkable"><a href="/doi/10.1063/5.0005678">x</a></div>
+</div>
+</body></html>"""
+
+
+def test_aip_listing_cards():
+    from borges_spark.functions.publishers import extract_aip_listing
+
+    rows = extract_aip_listing("L1", AIP_LISTING)
+    assert len(rows) == 2
+    a, b = rows
+    # DOI = last two path segments of the article link (aip_spider.py:119)
+    assert a["doi"] == "10.1063/5.0001234"
+    assert a["title"] == "First paper title"
+    assert a["authors"] == ["Jane Smith", "Ken Tanaka"]
+    assert a["open_access"] is True
+    assert b["doi"] == "10.1063/5.0005678"
+    assert b["open_access"] is False
+    assert b["authors"] is None
+    assert [r["doc_id"] for r in rows] == ["L1:0", "L1:1"]
+
+
+def test_aip_listing_through_dispatcher(spark):
+    rows = [("L1", "AIP", "aip_listing", bytearray(AIP_LISTING))]
+    df = spark.createDataFrame(rows, "doc_id string, publisher string, fmt string, body binary")
+    out = parse_documents(df).orderBy("doc_id").collect()
+    assert len(out) == 2  # one listing doc -> two paper rows
+    assert out[0]["doi"] == "10.1063/5.0001234"
+
+
+# --- Springer dc./prism. meta chain (SpringerXMLDataExtractor.py:85-232) ----
+
+SPRINGER_FULL = b"""<html><head>
+<meta name="DOI" content="10.1007/s40145-023-0001">
+<meta name="dc.publisher" content="SpringerNature">
+<meta name="prism.publicationName" content="Journal of Advanced Ceramics">
+<meta name="prism.issn" content="2226-4108">
+<meta name="prism.number" content="4">
+<meta name="dc.date" content="2023-04-01">
+<meta name="dc.title" content="Sintering of ceramics">
+<meta name="dc.creator" content="Smith, Jane">
+<meta name="dc.creator" content="Tanaka, Ken">
+<meta name="dc.description" content="We sinter ceramics.">
+</head><body></body></html>"""
+
+SPRINGER_PRISM_FALLBACK = b"""<html><head>
+<meta name="prism.doi" content="doi:10.1007/s40145-023-0002">
+<meta name="dc.date" content="garbage">
+<meta name="dc.creator" content="Madonna">
+</head><body></body></html>"""
+
+
+def test_springer_meta_golden():
+    from borges_spark.functions.publishers import extract_springer_meta
+
+    r = extract_springer_meta("s1", SPRINGER_FULL)
+    assert r["doi"] == "10.1007/s40145-023-0001"
+    assert r["journal"] == "Journal of Advanced Ceramics"
+    assert r["issn"] == "2226-4108"
+    assert r["issue"] == "4"
+    assert r["published_year"] == 2023  # dc.date leading 4 digits
+    assert r["authors"] == ["Jane Smith", "Ken Tanaka"]  # reordered (:204)
+    assert r["abstract"] == "We sinter ceramics."
+    assert r["notes"] == []
+
+
+def test_springer_prism_fallback_chain():
+    from borges_spark.functions.publishers import extract_springer_meta
+
+    r = extract_springer_meta("s2", SPRINGER_PRISM_FALLBACK)
+    # DOI via prism.doi with 'doi:' stripped (:103-104)
+    assert r["doi"] == "10.1007/s40145-023-0002"
+    assert r["publisher"] == "SpringerNature"
+    assert "publisher_inferred" in r["notes"]  # :118-119
+    assert r["published_year"] is None  # non-4-digit date rejected
+    # mononym author -> whole list nulled, like the reference (:205-207)
+    assert r["authors"] is None
+    assert "author_reorder_failed" in r["notes"]
