@@ -58,7 +58,11 @@ class SnapshotStore:
         def _write(item):
             name, df = item
             t0 = time.time()
-            df.write.mode("overwrite").parquet(os.path.join(rdir, name))
+            # snappy, not the session's zstd: snapshots are hot engine
+            # state rewritten every round — encode speed beats ratio here
+            df.write.mode("overwrite").option("compression", "snappy").parquet(
+                os.path.join(rdir, name)
+            )
             return name, round(time.time() - t0, 2)
 
         from concurrent.futures import ThreadPoolExecutor
