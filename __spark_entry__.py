@@ -1293,10 +1293,22 @@ FROM documents WHERE doc_id < 100
 
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked window agg over the events
-    parquet, drained synchronously."""
+    parquet, drained synchronously in COMPLETE mode — at drain time the
+    result equals the batch aggregation, so the streaming path gets an
+    EXACT DuckDB oracle (append mode stays the deployment default and is
+    pytest-covered). The sum accumulates in decimal: order-independent,
+    hence parallelism-invariant and cross-engine exact."""
     from borges_spark.streaming.stream_crawl import windowed_event_counts
 
-    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet", output_mode="complete")
+
+
+_STREAMING_WINDOW_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1379,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         "random_sample": _RANDOM_SAMPLE_SQL,
         "schema_migrate": _SCHEMA_MIGRATE_SQL,
         "multimodal_pipeline": _MULTIMODAL_SQL,
+        "streaming_window": _STREAMING_WINDOW_SQL,
         "explode_positions": _EXPLODE_SQL,
         "scalar_parsing": _SCALAR_SQL,
         "json_access": _JSON_SQL,

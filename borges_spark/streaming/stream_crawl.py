@@ -32,11 +32,19 @@ def windowed_event_counts(
     events_path: str,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Watermarked tumbling-window counts over a parquet event stream,
     drained synchronously into a memory sink (local smoke mode).
 
     Returns a batch DataFrame (window_start, event_type, n, total_value).
+    total_value accumulates in DECIMAL so the sum is order-independent
+    (parallelism-invariant), then casts back to double.
+
+    output_mode: 'append' (deployment mode — closed windows only, late
+    data handled by the watermark) or 'complete' (every window at drain
+    time — equals the batch aggregation, which is what the SQL oracle
+    checks).
 
     events_path: a directory of parquet files, or glob-filtered via
     (dir, filename) — file-stream sources require a directory.
@@ -55,12 +63,15 @@ def windowed_event_counts(
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double").alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
     name = "borges_stream_out"
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
