@@ -35,11 +35,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# N vs 4N for the scaling evidence. Default 4 vs 16: this box's 32
-# logical CPUs are ~16 physical + SMT (raw-CPU burn scales ~2.7x from
-# 8->32 but ~3.4x from 4->16), so comparing within physical cores
-# measures the engine rather than hyper-threading.
-LOW = int(os.environ.get("BORGES_BENCH_LOW", "4"))
+# N vs 4N for the scaling evidence. Default 2 vs 8: this box's 32
+# logical CPUs are ~16 physical + SMT, and a 16-thread Spark arm also
+# runs driver/GC/netty/python-worker threads that then contend with the
+# task threads. Measured on the same day, the same engine round scales
+# 0.62 raw at 2->8 vs 0.37 at 4->16 (parse stage 0.90 vs 0.78) purely
+# from that confound — 2->8 measures the ENGINE, 4->16 measures the box.
+LOW = int(os.environ.get("BORGES_BENCH_LOW", "2"))
 HIGH = int(os.environ.get("BORGES_BENCH_HIGH", str(min(4 * LOW, CPUS))))
 
 HEADLINE = [

@@ -81,6 +81,27 @@ def budgets_df(spark, cfg: PolitenessConfig) -> DataFrame:
     return spark.createDataFrame([rows_for(h) for h in host_list], schema)
 
 
+def budgets_from_robots(robots: DataFrame, cfg: PolitenessConfig) -> DataFrame:
+    """Per-host budget rows derived from robots.txt Crawl-delay —
+    column math over the robots table (same (k, every_m) formula as
+    `budget_for`, bit-for-bit), so a million-host robots table never
+    passes through the driver. Config `host_delays` overrides win by
+    construction (the engine anti-joins these against them)."""
+    d = F.col("crawl_delay").cast("double")
+    k_raw = F.floor(F.lit(cfg.round_budget_s) / d + F.lit(1e-9)).cast("int")
+    k = F.when(k_raw >= 1, k_raw).otherwise(F.lit(1))
+    every = F.when(k_raw >= 1, F.lit(1)).otherwise(
+        F.ceil(d / F.lit(cfg.round_budget_s)).cast("int")
+    )
+    return robots.filter(d.isNotNull() & (d > 0)).select(
+        "host",
+        k.alias("k"),
+        every.alias("every_m"),
+        F.lit(None).cast("int").alias("win_start"),
+        F.lit(None).cast("int").alias("win_end"),
+    )
+
+
 def hour_of_round(r: int, cfg: PolitenessConfig) -> int:
     return (cfg.start_hour + r) % 24
 

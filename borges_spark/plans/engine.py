@@ -107,6 +107,15 @@ class CrawlEngine:
         self.cfg = cfg
         self.robots = robots  # (host, disallow_prefixes); reference disables robots (settings.py:23)
         self.budgets = budgets_df(spark, cfg.politeness)
+        if robots is not None and "crawl_delay" in robots.columns:
+            # robots Crawl-delay rows become per-host budgets, computed
+            # distributed; explicit config host_delays take precedence
+            from borges_spark.operators.politeness import budgets_from_robots
+
+            rb = budgets_from_robots(robots, cfg.politeness).join(
+                self.budgets.select("host"), "host", "left_anti"
+            )
+            self.budgets = self.budgets.unionByName(rb)
         self._n_pages: int | None = None
 
     def _pages_count(self) -> int:

@@ -65,3 +65,59 @@ def test_rules_gate_engine(spark, tmp_path):
     engine.run(resume=False)
     hosts_crawled = {r["host"] for r in engine.crawl_log().select("host").distinct().collect()}
     assert "h0.example.com" not in hosts_crawled
+
+
+def test_budgets_from_robots_matches_budget_for(spark):
+    """Distributed robots->budget column math must equal budget_for
+    bit-for-bit across the delay regimes (fast, =round, slower-than-
+    round, huge)."""
+    from borges_spark.operators.politeness import (
+        PolitenessConfig,
+        budget_for,
+        budgets_from_robots,
+    )
+
+    cfg = PolitenessConfig(default_delay_s=1.0, round_budget_s=60.0)
+    delays = [0.1, 0.5, 1.0, 5.0, 60.0, 90.0, 3600.0]
+    rows = [(f"h{i}", True, [], d) for i, d in enumerate(delays)] + [
+        ("hnull", True, [], None),  # no Crawl-delay -> no budget row
+        ("hzero", True, [], 0.0),   # zero delay -> no budget row (default applies)
+    ]
+    robots = spark.createDataFrame(
+        rows, "host string, fetched boolean, disallow_prefixes array<string>, crawl_delay double"
+    )
+    got = {r["host"]: (r["k"], r["every_m"]) for r in budgets_from_robots(robots, cfg).collect()}
+    assert set(got) == {f"h{i}" for i in range(len(delays))}
+    for i, d in enumerate(delays):
+        assert got[f"h{i}"] == budget_for(d, cfg.round_budget_s), d
+
+
+def test_engine_respects_robots_crawl_delay(spark, tmp_path):
+    """An engine built with a robots table carrying Crawl-delay must cap
+    that host's per-round selection accordingly (config overrides win)."""
+    from pyspark.sql import functions as F
+
+    from borges_spark.operators.politeness import PolitenessConfig
+    from borges_spark.plans.checkpoint import SnapshotStore
+    from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
+
+    web = WebConfig(n_pages=300, n_hosts=3, out_degree=2, n_seeds=60)
+    pages, seeds = gen_pages(spark, web), gen_seeds(spark, web)
+    host0 = "h0.example.com"
+    robots = spark.createDataFrame(
+        [(host0, True, [], 30.0)],  # k = 60/30 = 2 per round
+        "host string, fetched boolean, disallow_prefixes array<string>, crawl_delay double",
+    )
+    cfg = CrawlConfig(
+        max_rounds=1,
+        politeness=PolitenessConfig(default_delay_s=1.0, round_budget_s=60.0),
+    )
+    eng = CrawlEngine(spark, pages, seeds, SnapshotStore(str(tmp_path / "s")), cfg, robots=robots)
+    eng.run(resume=False)
+    per_host = {
+        r["host"]: r["n"]
+        for r in eng.crawl_log().groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_host[host0] == 2  # robots Crawl-delay capped it
+    assert all(n > 2 for h, n in per_host.items() if h != host0)  # default k=60
