@@ -22,10 +22,19 @@ Scale notes (the 100 TB / 10^10-frontier design):
   - frontier is re-read from the committed snapshot every round: plans
     stay O(1) size across rounds (no lineage blow-up) and resume is
     free;
-  - the only per-round shuffles are (a) the host window for top-k,
-    (b) the anti-join for Bloom positives, (c) the frontier merge —
-    all keyed, all AQE-managed; skewed hot hosts are bounded by the
-    politeness budget itself (a host can contribute at most k rows);
+  - the page store NEVER shuffles: politeness-bounded rounds stream the
+    pages scan through a broadcast join of the (Σk-sized) selected set;
+    only when a round selects a large fraction of the store does the
+    plain equi-join run (and then the shuffle IS the minimal plan);
+  - dense sequence numbers (rank_in_round, discovered_seq) come from
+    group-decomposed numbering (within-group window + a cumsum over
+    group counts), never a global range sort — the within-round total
+    order is host-major, the discovery order parent-major;
+  - per-round shuffles: the host window for top-k (salt-pre-pruned on
+    skew), the link dedup groupBy, the Bloom-positive anti-join, and
+    the frontier merge — all keyed, all AQE-managed;
+  - round intermediates are persisted once and the four snapshot
+    datasets commit as concurrent jobs over warm caches;
   - fetch + parse never leave Arrow batches; no per-row Python.
 """
 
