@@ -78,6 +78,15 @@ class CrawlConfig:
     # zero exchanges); larger rounds fall back to a broadcast URL semi-
     # filter + a Σk-x-Σk shuffle join (still never shuffles the page store)
     broadcast_fetch_limit: int = 2_000_000
+    # AQE off by default INSIDE the crawl loop: a round is ~30 small
+    # keyed stages whose sizes the engine already knows and whose skew it
+    # already bounds (politeness budget, salting, group-decomposed
+    # ranks); AQE's per-stage re-plan barriers cost ~20% wall on the
+    # round and thrash the four concurrent snapshot-write jobs (measured:
+    # commit 11.5s -> 5.0s at 8 cores with AQE off). Turn on for ad-hoc
+    # workloads with unknown skew. Session-level AQE outside run() is
+    # untouched — the flag is set/restored around the loop only.
+    use_aqe: bool = False
     # hot-host fetch fan-out (SURVEY.md §4 strategy 2): hosts with >= this
     # many selected rows in a round spread over `n_salts` fetch sub-keys
     hot_host_threshold: int = 1000
@@ -543,6 +552,20 @@ class CrawlEngine:
         point (streaming micro-batch pacing); default: cfg.max_rounds
         as an absolute cap.
         """
+        store, spark = self.store, self.spark
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", str(self.cfg.use_aqe).lower())
+        try:
+            return self._run_rounds(resume, seed_batch, extra_rounds)
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def _run_rounds(
+        self,
+        resume: bool = True,
+        seed_batch: DataFrame | None = None,
+        extra_rounds: int | None = None,
+    ) -> dict:
         store, spark = self.store, self.spark
         frontier, shards, start_round, next_seq = self._load_state(resume)
         limit = self.cfg.max_rounds if extra_rounds is None else start_round + extra_rounds
