@@ -60,6 +60,23 @@ def pick_hash60(mode: str = "oracle"):
     return hash60_col if mode == "oracle" else fast_hash60_col
 
 
+_SIZE_NAMES = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+
+
+def format_size_col(size_bytes: Column) -> Column:
+    """F16 — human-readable byte size, matching the reference's
+    convert_size exactly (Borges/spiders/IOP/scripts/
+    download_via_sftp.py:57-64: floor(log1024), pow, round 2,
+    '<s> <unit>'; 0 -> '0B'). Column math, telemetry-grade."""
+    b = size_bytes.cast("double")
+    i = F.floor(F.log(1024.0, b)).cast("int")
+    s = F.round(b / F.pow(F.lit(1024.0), i.cast("double")), 2)
+    unit = F.element_at(F.array(*[F.lit(n) for n in _SIZE_NAMES]), i + 1)
+    return F.when(size_bytes == 0, F.lit("0B")).otherwise(
+        F.concat(s.cast("string"), F.lit(" "), unit)
+    )
+
+
 def hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
 

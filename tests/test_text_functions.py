@@ -86,3 +86,30 @@ def test_zfill_and_ws(spark):
     df = spark.createDataFrame([(7,), (123,), (4567,)], "v int")
     got = [r["z"] for r in df.select(X.zfill3_col(F.col("v")).alias("z")).orderBy("z").collect()]
     assert got == ["007", "123", "4567"]
+
+
+def test_format_size_matches_reference(spark):
+    """F16: column output must equal the reference's convert_size
+    (download_via_sftp.py:57-64) verbatim, including '0B' and the
+    float rendering of the rounded mantissa."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from borges_spark.functions.text import format_size_col
+
+    def convert_size(size_bytes):  # reference semantics, re-derived
+        if size_bytes == 0:
+            return "0B"
+        size_name = ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")
+        i = int(math.floor(math.log(size_bytes, 1024)))
+        p = math.pow(1024, i)
+        s = round(size_bytes / p, 2)
+        return "%s %s" % (s, size_name[i])
+
+    cases = [0, 1, 512, 1024, 1536, 10_000, 1_048_576, 2_621_440,
+             5 * 1024**3, 3 * 1024**4 + 12345, 1024**5]
+    df = spark.createDataFrame([(c,) for c in cases], "b long")
+    got = {r["b"]: r["s"] for r in df.select("b", format_size_col(F.col("b")).alias("s")).collect()}
+    for c in cases:
+        assert got[c] == convert_size(c), (c, got[c], convert_size(c))
