@@ -890,9 +890,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     float crosses engines."""
     docs = _t(spark, sf_dir, "documents")
     max_df = 20
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sh = docs.select(F.col("doc_id"), F.explode(D.shingles_col(F.col("text"))).alias("sh"))
-    # reused by 4 branches (sizes/rare/candidates/verify): pin it once
-    sh = sh.localCheckpoint(eager=True)
+    # reused by 4 branches (sizes/rare/candidates/verify): lazy cache —
+    # the first consumer materializes it, no dedicated blocking job; at
+    # 100 TB this would be a persisted shingle TABLE, not executor memory
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
     rare_sh = sh.join(rare, "sh")
@@ -1158,11 +1161,14 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_rounds=5, order_mode="fifo", use_bloom=True,
         politeness=PolitenessConfig(default_delay_s=5.0, round_budget_s=60.0),
     )
-    # one FIXED store path, wiped and rebuilt per invocation: the caller
-    # reads the returned crawl-log lazily, so the store must outlive this
-    # function — but repeated invocations must not accumulate temp dirs
-    store_root = os.path.join(tempfile.gettempdir(), "borges_crawl_e2e_store")
-    shutil.rmtree(store_root, ignore_errors=True)
+    # a UNIQUE store per invocation (the caller reads the returned
+    # crawl-log lazily, so the store must outlive this function and must
+    # not be clobbered by a later invocation or a concurrent process);
+    # atexit bounds the leak to the process lifetime
+    import atexit
+
+    store_root = tempfile.mkdtemp(prefix="borges_crawl_e2e_")
+    atexit.register(shutil.rmtree, store_root, ignore_errors=True)
     store = SnapshotStore(store_root)
     engine = CrawlEngine(spark, gen_pages(spark, web), gen_seeds(spark, web), store, cfg)
     engine.run(resume=False)

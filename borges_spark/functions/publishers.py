@@ -556,6 +556,16 @@ def parse_documents(df, fmt_col: str = "fmt"):
                     rows.append(extract_springer_meta(str(doc_id), raw))
                 else:
                     rows.append(extract_ecs_html(str(doc_id), raw))
-            yield pd.DataFrame(rows)
+            # explicit columns: a batch can legitimately produce ZERO rows
+            # (aip_listing pages with no cards), and pd.DataFrame([]) has
+            # no columns for Arrow to conform to PAPER_SCHEMA
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "publisher", "doi", "title", "abstract",
+                    "authors", "journal", "issn", "issue", "published_year",
+                    "open_access", "full_text", "contains_body", "notes",
+                ],
+            )
 
     return df.mapInPandas(batches, PAPER_SCHEMA)

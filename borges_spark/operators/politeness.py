@@ -50,13 +50,15 @@ class PolitenessConfig:
 
 
 def budget_for(delay_s: float, round_budget_s: float) -> tuple[int, int]:
-    """(k per eligible round, every_m rounds) for one host."""
+    """(k per eligible round, every_m rounds) for one host. k is capped
+    at 2^30 ('effectively unlimited') so it always fits the budget
+    table's int column — a sub-microsecond delay must not overflow."""
     if delay_s <= 0:
         return (1 << 30, 1)
     # epsilon guards the binary-float quotient (60.0/0.1 -> 599.999...)
     k = int(round_budget_s / delay_s + 1e-9)
     if k >= 1:
-        return (k, 1)
+        return (min(k, 1 << 30), 1)
     return (1, int(math.ceil(delay_s / round_budget_s)))
 
 
@@ -88,7 +90,11 @@ def budgets_from_robots(robots: DataFrame, cfg: PolitenessConfig) -> DataFrame:
     passes through the driver. Config `host_delays` overrides win by
     construction (the engine anti-joins these against them)."""
     d = F.col("crawl_delay").cast("double")
-    k_raw = F.floor(F.lit(cfg.round_budget_s) / d + F.lit(1e-9)).cast("int")
+    # least() BEFORE the int cast: a sub-microsecond delay would overflow
+    # int32 and null out (budget_for caps at the same 2^30)
+    k_raw = F.least(
+        F.floor(F.lit(cfg.round_budget_s) / d + F.lit(1e-9)), F.lit(float(1 << 30))
+    ).cast("int")
     k = F.when(k_raw >= 1, k_raw).otherwise(F.lit(1))
     every = F.when(k_raw >= 1, F.lit(1)).otherwise(
         F.ceil(d / F.lit(cfg.round_budget_s)).cast("int")

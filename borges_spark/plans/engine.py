@@ -127,14 +127,76 @@ class CrawlEngine:
         self.budgets = budgets_df(spark, cfg.politeness)
         if robots is not None and "crawl_delay" in robots.columns:
             # robots Crawl-delay rows become per-host budgets, computed
-            # distributed; explicit config host_delays take precedence
+            # distributed. Precedence: an EXPLICIT config host_delays entry
+            # beats robots; a host that only has a time-of-day window keeps
+            # its window but takes the robots-derived k/every_m (a config
+            # window must not silently discard a robots Crawl-delay).
             from borges_spark.operators.politeness import budgets_from_robots
 
-            rb = budgets_from_robots(robots, cfg.politeness).join(
-                self.budgets.select("host"), "host", "left_anti"
+            rb = budgets_from_robots(robots, cfg.politeness)
+            delay_hosts = [h for h, _ in cfg.politeness.host_delays]
+            has_delay = (
+                F.col("host").isin(delay_hosts) if delay_hosts else F.lit(False)
             )
-            self.budgets = self.budgets.unionByName(rb)
+            b = self.budgets.alias("b")
+            r = rb.alias("r")
+            self.budgets = b.join(r, "host", "full_outer").select(
+                "host",
+                F.when(has_delay, F.col("b.k"))
+                .otherwise(F.coalesce(F.col("r.k"), F.col("b.k")))
+                .alias("k"),
+                F.when(has_delay, F.col("b.every_m"))
+                .otherwise(F.coalesce(F.col("r.every_m"), F.col("b.every_m")))
+                .alias("every_m"),
+                F.col("b.win_start").alias("win_start"),
+                F.col("b.win_end").alias("win_end"),
+            )
         self._n_pages: int | None = None
+
+    def _table_fetch_hits(self, selected: DataFrame, n_selected: int) -> tuple[DataFrame, bool]:
+        """Table-mode fetch plan for the rows that exist in the page
+        store. Returns (hits, big_round). Strategy by Σk vs store size —
+        the page store itself NEVER shuffles:
+
+          - politeness-bounded round (Σk << store, fits the broadcast
+            limit): broadcast-inner — one streamed pass over the scan;
+          - Σk too wide to broadcast whole rows: broadcast URL semi-filter
+            on the scan, then a Σk-x-Σk shuffle join;
+          - drain/stress round (Σk ~ store): plain shuffle equi-join — a
+            prefilter discards nothing, and a driver-side broadcast build
+            of ~store-size is exactly what must not happen.
+
+        A stored row with NULL html routes to 404 (missing page), exactly
+        like a URL with no row at all; injected transient failures become
+        503 with the html withheld."""
+        cfg = self.cfg
+        fail_injected = (
+            (F.lit(cfg.fail_every) > 0)
+            & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
+            & (F.col("attempts") == 0)
+        )
+        page_side = self.pages.select("url", "html", F.col("lang").alias("_page_lang"))
+        n_pages = self._pages_count()
+        big_round = n_selected > n_pages // 4
+        if big_round:
+            hits = page_side.join(selected, "url")
+        elif n_selected <= cfg.broadcast_fetch_limit:
+            hits = page_side.join(F.broadcast(selected), "url")
+        else:
+            hits = page_side.join(
+                F.broadcast(selected.select("url")), "url", "left_semi"
+            ).join(selected, "url")
+        status = (
+            F.when(F.col("html").isNull(), F.lit(404))
+            .when(fail_injected, F.lit(503))
+            .otherwise(F.lit(200))
+        )
+        hits = (
+            hits.withColumn("status", status)
+            .withColumn("html", F.when(F.col("status") == 200, F.col("html")))
+            .withColumn("lang", F.col("_page_lang"))
+        )
+        return hits, big_round
 
     def _pages_count(self) -> int:
         """Page-store row count, computed once per engine (for parquet
@@ -285,44 +347,21 @@ class CrawlEngine:
             # stateless, so the host-locality repartition (an html-payload
             # shuffle) buys nothing. Round 1 shipped `selected LEFT JOIN
             # pages`, which re-shuffled the whole page store every round.
-            fail_injected = (
-                (F.lit(cfg.fail_every) > 0)
-                & (F.pmod(F.col("url_hash"), F.lit(max(cfg.fail_every, 1))) == 0)
-                & (F.col("attempts") == 0)
-            )
-            page_side = self.pages.select("url", "html", F.col("lang").alias("_page_lang"))
-            n_pages = self._pages_count()
-            if n_selected > n_pages // 4:
-                # the round selects a large fraction of the store (stress/
-                # drain workloads): a prefilter discards almost nothing, so
-                # the plain shuffle equi-join is the minimal plan — parallel
-                # shuffle work instead of a driver-fixed broadcast build
-                hits = page_side.join(selected, "url")
-            elif n_selected <= cfg.broadcast_fetch_limit:
-                # politeness-bounded round (Σk << page store): broadcast-
-                # inner filters pages AND attaches the selected columns in
-                # one streamed pass — zero exchanges, no pages shuffle
-                hits = page_side.join(F.broadcast(selected), "url")
-            else:
-                # Σk too large to broadcast whole rows but still small vs
-                # the store: broadcast only the URL set as a semi-filter
-                # (no pages shuffle), then a shuffle join of Σk-sized sides
-                hits = page_side.join(
-                    F.broadcast(selected.select("url")), "url", "left_semi"
-                ).join(selected, "url")
-            hits = (
-                hits
-                .withColumn("status", F.when(fail_injected, F.lit(503)).otherwise(F.lit(200)))
-                .withColumn("html", F.when(~fail_injected, F.col("html")))
-                .withColumn("lang", F.col("_page_lang"))
-            )
+            hits, big_round = self._table_fetch_hits(selected, n_selected)
             parsed_hits = hits.select(*_parse_cols).mapInPandas(_parse, _PARSE_SCHEMA)
             parsed_hits = parsed_hits.persist()
             caches.append(parsed_hits)
             # misses (no page in the store -> 404) never touch the parser;
-            # derived from the CACHED hits, not a second pages scan
+            # derived from the CACHED hits, not a second pages scan. Only
+            # hint the broadcast when the round is small enough that
+            # collecting Σk URLs to the driver is safe — a drain round's
+            # anti-join runs as a plain shuffle (same reason its hits join
+            # does).
+            hit_urls = parsed_hits.select("url")
+            if not big_round:
+                hit_urls = F.broadcast(hit_urls)
             misses = (
-                selected.join(F.broadcast(parsed_hits.select("url")), "url", "left_anti")
+                selected.join(hit_urls, "url", "left_anti")
                 .withColumn("status", F.lit(404))
                 .withColumn("lang", F.lit(None).cast("string"))
                 .withColumn("text", F.lit(None).cast("string"))
@@ -571,11 +610,18 @@ class CrawlEngine:
         limit = self.cfg.max_rounds if extra_rounds is None else start_round + extra_rounds
         if seed_batch is not None:
             if start_round == 0:
+                # replace the _load_state frontier built over self.seeds:
+                # release its cache, then cache the rebuilt one the same way
+                frontier.unpersist()
+                if shards is not None:
+                    shards.unpersist()
                 self.seeds = seed_batch
-                frontier = self.init_frontier()
+                frontier = self.init_frontier().persist()
                 next_seq = frontier.count()
                 if self.cfg.use_bloom:
-                    shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
+                    shards = merge_seen_shards(
+                        None, frontier.select("url_hash"), self.cfg.bloom
+                    ).persist()
             else:
                 frontier, new_next = self.fold_seeds(frontier, seed_batch, next_seq, start_round)
                 if self.cfg.use_bloom and new_next > next_seq:

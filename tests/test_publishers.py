@@ -285,3 +285,11 @@ def test_springer_prism_fallback_chain():
     # mononym author -> whole list nulled, like the reference (:205-207)
     assert r["authors"] is None
     assert "author_reorder_failed" in r["notes"]
+
+
+def test_aip_listing_empty_page_through_dispatcher(spark):
+    """A listing with zero cards yields zero rows — the batch must still
+    conform to PAPER_SCHEMA (empty DataFrame with columns), not crash."""
+    rows = [("L0", "AIP", "aip_listing", bytearray(b"<html><body>no cards</body></html>"))]
+    df = spark.createDataFrame(rows, "doc_id string, publisher string, fmt string, body binary")
+    assert parse_documents(df).count() == 0

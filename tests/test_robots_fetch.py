@@ -121,3 +121,47 @@ def test_engine_respects_robots_crawl_delay(spark, tmp_path):
     }
     assert per_host[host0] == 2  # robots Crawl-delay capped it
     assert all(n > 2 for h, n in per_host.items() if h != host0)  # default k=60
+
+
+def test_robots_budget_merges_with_window_only_host(spark, tmp_path):
+    """A host configured ONLY with a time-of-day window must keep the
+    window AND take the robots-derived k (a config window must not
+    silently discard a robots Crawl-delay); sub-microsecond delays clamp
+    instead of overflowing int32."""
+    from borges_spark.operators.politeness import (
+        PolitenessConfig,
+        budget_for,
+        budgets_from_robots,
+    )
+    from borges_spark.plans.checkpoint import SnapshotStore
+    from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
+
+    cfg = PolitenessConfig(
+        default_delay_s=1.0, round_budget_s=60.0,
+        host_delays=(("explicit.com", 2.0),),
+        host_windows=(("h0.example.com", 0, 24),),
+    )
+    robots = spark.createDataFrame(
+        [("h0.example.com", True, [], 30.0),   # window-only host: robots k wins
+         ("explicit.com", True, [], 30.0),     # explicit delay: config k wins
+         ("tiny.com", True, [], 1e-9)],        # clamp, not int32 overflow
+        "host string, fetched boolean, disallow_prefixes array<string>, crawl_delay double",
+    )
+    # formula parity incl. the clamp
+    got = {r["host"]: (r["k"], r["every_m"]) for r in budgets_from_robots(robots, cfg).collect()}
+    assert got["tiny.com"] == (1 << 30, 1) == budget_for(1e-9, 60.0)
+
+    web = WebConfig(n_pages=200, n_hosts=2, out_degree=2, n_seeds=40)
+    engine = CrawlEngine(
+        spark, gen_pages(spark, web), gen_seeds(spark, web),
+        SnapshotStore(str(tmp_path / "s")),
+        CrawlConfig(max_rounds=1, politeness=cfg),
+        robots=robots,
+    )
+    budgets = {r["host"]: r for r in engine.budgets.collect()}
+    h0 = budgets["h0.example.com"]
+    assert h0["k"] == 2  # robots-derived (60/30)
+    assert (h0["win_start"], h0["win_end"]) == (0, 24)  # window preserved
+    assert budgets["explicit.com"]["k"] == 30  # config delay 2.0 beats robots 30.0
+    assert budgets["tiny.com"]["k"] == 1 << 30
