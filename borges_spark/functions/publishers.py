@@ -244,14 +244,59 @@ def extract_jats(doc_id: str, raw: bytes, publisher: str = "IOP") -> dict:
     return out
 
 
+# --- shared HTML micro-helpers (DOM-faithful where the reference walks
+#     a real DOM: meta tags tolerate attribute order/quoting, div
+#     extraction tracks nesting depth) --------------------------------
+
+_META_TAG_RE = re.compile(r"<meta\b[^>]*>", re.IGNORECASE)
+_ATTR_NAME_RE = re.compile(r"""\bname\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+_ATTR_CONTENT_RE = re.compile(r"""\bcontent\s*=\s*(?:"([^"]*)"|'([^']*)')""", re.IGNORECASE)
+
+
+def _iter_meta(html: str):
+    """(name, content) for every <meta> tag, in document order. The
+    reference reads meta tags through a DOM (attribute order and quote
+    style are invisible there); a rigid name-before-content double-quote
+    regex silently drops reordered or single-quoted tags."""
+    for m in _META_TAG_RE.finditer(html):
+        tag = m.group(0)
+        nm = _ATTR_NAME_RE.search(tag)
+        cm = _ATTR_CONTENT_RE.search(tag)
+        if nm and cm:
+            name = nm.group(1) if nm.group(1) is not None else nm.group(2)
+            content = cm.group(1) if cm.group(1) is not None else cm.group(2)
+            yield name, content
+
+
+_DIV_TAG_RE = re.compile(r"</?div\b[^>]*>", re.IGNORECASE)
+
+
+def _balanced_div_inner(html: str, open_re: re.Pattern) -> str | None:
+    """Inner HTML of the first div matched by `open_re`, closed at the
+    MATCHING </div> (nested-div depth tracked). The reference's DOM
+    selectors return the whole subtree; a non-greedy (.*?)</div> would
+    truncate at the first nested close tag. An unclosed div yields the
+    rest of the document (html.parser leniency)."""
+    m = open_re.search(html)
+    if not m:
+        return None
+    depth = 1
+    pos = m.end()
+    for t in _DIV_TAG_RE.finditer(html, pos):
+        if t.group(0).startswith("</"):
+            depth -= 1
+            if depth == 0:
+                return html[pos:t.start()]
+        else:
+            depth += 1
+    return html[pos:]
+
+
 # --- ECS-style HTML extraction (regex CSS-lite; ECS/metadata.py:41-67) ----
 
 _DOI_RE = re.compile(r'class="slug-doi"[^>]*>([^<]+)<')
-_TITLE_RE = re.compile(r'<meta\s+name="citation_title"\s+content="([^"]*)"')
 _OA_RE = re.compile(r'class="open-access-marker"')
-_FULLTEXT_RE = re.compile(
-    r'<div class="article fulltext-view">(.*?)</div>', re.DOTALL
-)
+_FULLTEXT_OPEN_RE = re.compile(r'<div class="article fulltext-view"[^>]*>')
 _TAG_RE = re.compile(r"<[^>]+>")
 
 
@@ -259,17 +304,19 @@ def extract_ecs_html(doc_id: str, raw: bytes) -> dict:
     html = decode_html(raw)
     notes: list[str] = []
     doi_m = _DOI_RE.search(html)
-    title_m = _TITLE_RE.search(html)
-    ft_m = _FULLTEXT_RE.search(html)
+    title = next(
+        (c.strip() for n, c in _iter_meta(html) if n == "citation_title"), None
+    )
+    ft = _balanced_div_inner(html, _FULLTEXT_OPEN_RE)
     full_text = None
-    if ft_m:
-        full_text = " ".join(_TAG_RE.sub(" ", ft_m.group(1)).split()) or None
+    if ft is not None:
+        full_text = " ".join(_TAG_RE.sub(" ", ft).split()) or None
     if not doi_m:
         notes.append("missing_doi")
     return {
         "doc_id": doc_id, "publisher": "ECS",
         "doi": doi_m.group(1).strip() if doi_m else None,
-        "title": title_m.group(1).strip() if title_m else None,
+        "title": title,
         "abstract": None, "authors": None, "journal": None, "issn": None,
         "issue": None, "published_year": None,
         "open_access": bool(_OA_RE.search(html)),
@@ -283,14 +330,12 @@ def extract_ecs_html(doc_id: str, raw: bytes) -> dict:
 #     Borges/spiders/AIP/aip_spider.py:95-131 pulls structured fields
 #     from meta tags / DOM; here: the citation_* meta-tag family) -----
 
-_META_FIELD_RE = re.compile(r'<meta\s+name="citation_([a-z_]+)"\s+content="([^"]*)"')
-
-
 def extract_meta_html(doc_id: str, raw: bytes, publisher: str = "AIP") -> dict:
     html = decode_html(raw)
     fields: dict[str, list[str]] = {}
-    for name, content in _META_FIELD_RE.findall(html):
-        fields.setdefault(name, []).append(content.strip())
+    for name, content in _iter_meta(html):
+        if name.startswith("citation_") and re.fullmatch(r"[a-z_]+", name[9:]):
+            fields.setdefault(name[9:], []).append(content.strip())
 
     def first(name: str) -> str | None:
         vals = fields.get(name)
@@ -328,9 +373,9 @@ RSC_EXCLUDE_ARTICLE_TYPES = ("Cover", "Front/Back Matter")
 _RSC_TITLE_RE = re.compile(
     r'<h2 class="capsule__title"[^>]*>(.*?)</h2>', re.DOTALL
 )  # div.article__title > h2.capsule__title (metadata.py:88)
-_RSC_ABSTRACT_RE = re.compile(
-    r'<div class="capsule__text"[^>]*>(.*?)</div>', re.DOTALL
-)  # div.capsule__text (metadata.py:91)
+_RSC_ABSTRACT_OPEN_RE = re.compile(
+    r'<div class="capsule__text"[^>]*>'
+)  # div.capsule__text (metadata.py:91); nested-div aware via _balanced_div_inner
 _RSC_DOI_URL_RE = re.compile(
     r'<dd class="c__24">\s*<a class="text--small"[^>]*>([^<]+)</a>'
 )  # dd.c__24 > a.text--small (metadata.py:94)
@@ -381,7 +426,7 @@ def extract_rsc_html(doc_id: str, raw: bytes) -> dict:
         notes.append("missing_doi")
 
     title_m = _RSC_TITLE_RE.search(html)
-    abstract_m = _RSC_ABSTRACT_RE.search(html)
+    abstract_frag = _balanced_div_inner(html, _RSC_ABSTRACT_OPEN_RE)
     authors = [_bs_text(a) for a in _RSC_AUTHOR_RE.findall(html)] or None
 
     journal_m = _RSC_JOURNAL_RE.search(html)
@@ -401,7 +446,7 @@ def extract_rsc_html(doc_id: str, raw: bytes) -> dict:
         "doc_id": doc_id, "publisher": "RSC",
         "doi": doi,
         "title": _bs_text(title_m.group(1)) if title_m else None,
-        "abstract": _bs_text(abstract_m.group(1)) if abstract_m else None,
+        "abstract": _bs_text(abstract_frag) if abstract_frag is not None else None,
         "authors": authors,
         "journal": _bs_text(journal_m.group(1)) if journal_m else None,
         "issn": None, "issue": issue, "published_year": year,
@@ -416,9 +461,6 @@ def extract_rsc_html(doc_id: str, raw: bytes) -> dict:
 #     85-232 pulls every field from dc.*/prism.* meta tags — a different
 #     vocabulary from the citation_* family). ---------------------------
 
-_NAMED_META_RE = re.compile(r'<meta\s+name="([A-Za-z._]+)"\s+content="([^"]*)"')
-
-
 def extract_springer_meta(doc_id: str, raw: bytes) -> dict:
     """Springer meta-tag extraction with the reference's exact fallback
     chain: DOI from `meta[name=DOI]`, else `prism.doi` with the 'doi:'
@@ -430,8 +472,9 @@ def extract_springer_meta(doc_id: str, raw: bytes) -> dict:
     abstract dc.description."""
     html = decode_html(raw)
     fields: dict[str, list[str]] = {}
-    for name, content in _NAMED_META_RE.findall(html):
-        fields.setdefault(name, []).append(content.strip())
+    for name, content in _iter_meta(html):
+        if re.fullmatch(r"[A-Za-z._]+", name):
+            fields.setdefault(name, []).append(content.strip())
 
     def first(name: str) -> str | None:
         vals = fields.get(name)

@@ -67,10 +67,21 @@ def format_size_col(size_bytes: Column) -> Column:
     """F16 — human-readable byte size, matching the reference's
     convert_size exactly (Borges/spiders/IOP/scripts/
     download_via_sftp.py:57-64: floor(log1024), pow, round 2,
-    '<s> <unit>'; 0 -> '0B'). Column math, telemetry-grade."""
+    '<s> <unit>'; 0 -> '0B'). Column math, telemetry-grade.
+
+    bround (HALF_EVEN), not round (HALF_UP): Python's round() is
+    banker's, and byte counts divided by 1024^i are dyadic rationals
+    that DO land exactly on .xx5 ties (640/1024 = 0.625 -> '0.62 KB',
+    where HALF_UP would print 0.63). Residual documented deviation:
+    Spark rounds the double's shortest decimal repr while Python rounds
+    the exact binary value — they can differ only when a non-tie binary
+    value's shortest repr falsely lands on a 3-decimal tie (the quotient
+    must be bit-identical to the nearest double of such a tie; possible
+    in principle for EB-scale counts, never for exactly-representable
+    quotients like the KB/MB cases the reference logs)."""
     b = size_bytes.cast("double")
     i = F.floor(F.log(1024.0, b)).cast("int")
-    s = F.round(b / F.pow(F.lit(1024.0), i.cast("double")), 2)
+    s = F.bround(b / F.pow(F.lit(1024.0), i.cast("double")), 2)
     unit = F.element_at(F.array(*[F.lit(n) for n in _SIZE_NAMES]), i + 1)
     return F.when(size_bytes == 0, F.lit("0B")).otherwise(
         F.concat(s.cast("string"), F.lit(" "), unit)

@@ -87,8 +87,10 @@ def budgets_from_robots(robots: DataFrame, cfg: PolitenessConfig) -> DataFrame:
     """Per-host budget rows derived from robots.txt Crawl-delay —
     column math over the robots table (same (k, every_m) formula as
     `budget_for`, bit-for-bit), so a million-host robots table never
-    passes through the driver. Config `host_delays` overrides win by
-    construction (the engine anti-joins these against them)."""
+    passes through the driver. Precedence is applied by the ENGINE when
+    it merges these with the config budgets: an explicit config
+    host_delays entry keeps its k/every_m (when/otherwise on the joined
+    row), every other host coalesces to the robots-derived values."""
     d = F.col("crawl_delay").cast("double")
     # least() BEFORE the int cast: a sub-microsecond delay would overflow
     # int32 and null out (budget_for caps at the same 2^30)
@@ -118,11 +120,18 @@ def select_round(
     round_no: int,
     cfg: PolitenessConfig,
     order_mode: str = "priority",
+    max_k_hint: int | None = None,
 ) -> DataFrame:
     """Pick this round's fetch set: top-k per host under the budget.
 
     eligible: frontier rows already filtered to state='pending',
     attempts not exhausted, next_allowed_round <= round_no.
+
+    max_k_hint: the largest k present in the `budgets` table, when the
+    caller knows it (the engine computes it once — robots-derived budget
+    rows are invisible to the config-only heuristic below, and a
+    near-unbounded robots k would otherwise engage the skew prune as
+    pure overhead).
 
     Total order (documented, tie-proof — SURVEY.md §7 'what's hard'):
       priority mode: priority DESC, discovered_seq ASC, url_hash ASC
@@ -161,6 +170,8 @@ def select_round(
     # and parallelism-invariant. Only engaged when k is bounded enough
     # for the prune to actually discard rows.
     ks = [budget_for(d, cfg.round_budget_s)[0] for _, d in cfg.host_delays] + [dk]
+    if max_k_hint is not None:
+        ks.append(max_k_hint)
     if cfg.skew_prune_salts > 1 and max(ks) <= cfg.skew_prune_max_k:
         salt = F.pmod(F.col("url_hash"), F.lit(cfg.skew_prune_salts)).cast("int")
         w_pre = Window.partitionBy("host", "_salt").orderBy(*order)

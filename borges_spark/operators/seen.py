@@ -161,9 +161,12 @@ def filter_unseen(
     definite-new rows around the shuffle; without it this degrades to
     the plain exact anti-join.
 
-    The flagged frame is persisted (appended to `caches` when given) so
-    the probe UDF runs ONCE over the candidates, not once per output
-    branch.
+    When `caches` is given, the flagged frame is persisted (and appended
+    to it for the caller to unpersist) so the probe UDF runs ONCE over
+    the candidates, not once per output branch. Without a caches list
+    the probe stays lazy — a standalone caller has no unpersist hook, and
+    silently pinning executor memory across invocations of a long-lived
+    session is worse than re-running the (vectorized, cheap) probe.
     """
     if shards is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
@@ -175,8 +178,8 @@ def filter_unseen(
         flagged = _probe_cogroup(candidates, shards, cfg)
     else:
         flagged = _probe_broadcast(candidates, shards, cfg)
-    flagged = flagged.persist()
     if caches is not None:
+        flagged = flagged.persist()
         caches.append(flagged)
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")

@@ -151,6 +151,15 @@ class CrawlEngine:
                 F.col("b.win_start").alias("win_start"),
                 F.col("b.win_end").alias("win_end"),
             )
+        # effective max budget k across the merged table (one tiny action
+        # at engine construction): robots-derived rows are invisible to
+        # select_round's config-only skew heuristic, and a huge robots k
+        # must disable the prune the same way a huge config k does
+        self._max_budget_k: int | None = None
+        if robots is not None and "crawl_delay" in robots.columns:
+            row = self.budgets.agg(F.max("k").alias("mk")).first()
+            if row is not None and row["mk"] is not None:
+                self._max_budget_k = int(row["mk"])
         self._n_pages: int | None = None
 
     def _table_fetch_hits(self, selected: DataFrame, n_selected: int) -> tuple[DataFrame, bool]:
@@ -276,7 +285,10 @@ class CrawlEngine:
             & (F.col("next_allowed_round") <= round_no)
         )
         eligible = self._apply_robots(eligible)
-        selected = select_round(eligible, self.budgets, round_no, cfg.politeness, cfg.order_mode)
+        selected = select_round(
+            eligible, self.budgets, round_no, cfg.politeness, cfg.order_mode,
+            max_k_hint=self._max_budget_k,
+        )
 
         # Within-round total order is HOST-MAJOR: (host ASC, host_rank ASC)
         # — hosts are fetched in parallel, so cross-host interleaving is
@@ -333,11 +345,16 @@ class CrawlEngine:
                 "lang", F.lit(None).cast("string")
             )
             parsed = fetched.select(*_parse_cols).mapInPandas(_parse, _PARSE_SCHEMA)
-            # Lazy cache, NOT an eager localCheckpoint: the first consumer
-            # materializes it as a side effect; later consumers (crawl_log,
-            # routing, metrics, snapshot writes) read the cached Σk rows.
+            # EAGER materialization: a live fetch is a non-deterministic
+            # side effect, and the concurrent snapshot writers (plus any
+            # cache eviction) would otherwise recompute it — fetching each
+            # URL 2-3x per round (a politeness violation) and letting
+            # crawl_log/frontier/metrics in ONE committed snapshot derive
+            # from DIFFERENT fetch results. One count() pins every
+            # consumer to the same fetched bytes.
             parsed = parsed.persist()
             caches.append(parsed)
+            parsed.count()
         else:
             # Table-mode fetch: the page store is the 100 TB side — it must
             # never shuffle. One streamed pass over the pages scan:

@@ -42,3 +42,57 @@ def test_http_mode_crawl(spark, tmp_path):
     # discovered links entered the frontier as pending
     frontier = engine.frontier()
     assert frontier.filter(F.col("state") == "pending").count() > 0
+
+
+def test_http_mode_fetches_each_url_exactly_once(spark, tmp_path):
+    """The live fetch is a side effect: the concurrent snapshot writers
+    (crawl_log/frontier/metrics) must consume ONE materialized fetch, not
+    recompute the fetch plan per writer — refetching is a politeness
+    violation and lets one committed snapshot mix different fetch
+    results. A counting server proves exactly-once."""
+    import http.server
+    import threading
+    from collections import Counter
+
+    hits = Counter()
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+            if self.path.startswith("/page/"):
+                i = int(self.path.rsplit("/", 1)[1])
+                # each page links to the next two, so rounds 2+ exercise
+                # discovery -> re-entry -> fetch of non-seed URLs too
+                links = "".join(
+                    f'<a href="/page/{j}">l</a>' for j in (2 * i + 1, 2 * i + 2) if j < 12
+                )
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(f"<html><body><p>pg {i}</p>{links}</body></html>".encode())
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        seeds = spark.createDataFrame([(f"{base}/page/0", 0)], "url string, seq long")
+        cfg = CrawlConfig(
+            max_rounds=6,
+            fetch_mode="http",
+            politeness=PolitenessConfig(default_delay_s=0.1, round_budget_s=60.0),
+        )
+        engine = CrawlEngine(spark, None, seeds, SnapshotStore(str(tmp_path / "s")), cfg)
+        engine.run(resume=False)
+        fetched = [r["url"] for r in engine.crawl_log().select("url").collect()]
+        assert len(fetched) == 12  # the whole 12-page tree was crawled
+        for i in range(12):
+            assert hits[f"/page/{i}"] == 1, (i, hits[f"/page/{i}"])
+    finally:
+        srv.shutdown()

@@ -293,3 +293,56 @@ def test_aip_listing_empty_page_through_dispatcher(spark):
     rows = [("L0", "AIP", "aip_listing", bytearray(b"<html><body>no cards</body></html>"))]
     df = spark.createDataFrame(rows, "doc_id string, publisher string, fmt string, body binary")
     assert parse_documents(df).count() == 0
+
+
+def test_meta_attr_order_and_quoting_tolerated():
+    """DOM semantics: attribute order and quote style are invisible to a
+    real DOM walk (SpringerXMLDataExtractor.py reads tags through a
+    parser), so content-before-name and single-quoted attributes must
+    parse identically."""
+    from borges_spark.functions.publishers import extract_meta_html, extract_springer_meta
+
+    html = b"""<html><head>
+    <meta content="10.1007/s40145-023-0009" name="DOI">
+    <meta name='dc.title' content='Reordered Title'>
+    <meta content='Jane Smith' name='dc.creator'>
+    </head><body></body></html>"""
+    r = extract_springer_meta("s9", html)
+    assert r["doi"] == "10.1007/s40145-023-0009"
+    assert r["title"] == "Reordered Title"
+    # single-token creator -> reference nulls the list (:205-207); the
+    # point here is that the single-quoted tag was SEEN at all
+    assert r["authors"] is None
+    assert "author_reorder_failed" in r["notes"]
+
+    aip = b"""<html><head>
+    <meta content="10.1063/5.0000001" name="citation_doi">
+    <meta name='citation_title' content='Quoted Title'>
+    </head></html>"""
+    m = extract_meta_html("a9", aip)
+    assert m["doi"] == "10.1063/5.0000001"
+    assert m["title"] == "Quoted Title"
+
+
+def test_nested_div_abstract_and_fulltext():
+    """The reference's DOM selectors return the WHOLE subtree of the
+    matched div; a nested <div> inside must not truncate the extraction
+    (the old non-greedy regex stopped at the first </div>)."""
+    from borges_spark.functions.publishers import extract_ecs_html, extract_rsc_html
+
+    rsc = (
+        b'<span class="capsule__context">Paper</span>'
+        b'<div class="capsule__text">Start <div class="inner">middle</div> end.</div>'
+        b'<dl><dd class="c__24"><a class="text--small">https://doi.org/10.1039/DX</a></dd></dl>'
+    )
+    r = extract_rsc_html("r9", rsc)
+    assert r["abstract"] == "Start middle end."
+    assert r["doi"] == "10.1039/DX"
+
+    ecs = (
+        b'<html><body><div class="article fulltext-view">alpha '
+        b'<div class="figure">beta</div> gamma</div></body></html>'
+    )
+    e = extract_ecs_html("e9", ecs)
+    assert e["full_text"] == "alpha beta gamma"
+    assert e["contains_body"] is True

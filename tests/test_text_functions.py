@@ -107,8 +107,11 @@ def test_format_size_matches_reference(spark):
         s = round(size_bytes / p, 2)
         return "%s %s" % (s, size_name[i])
 
-    cases = [0, 1, 512, 1024, 1536, 10_000, 1_048_576, 2_621_440,
-             5 * 1024**3, 3 * 1024**4 + 12345, 1024**5]
+    # 640, 1664, 2_752_512 land EXACTLY on .xx5 ties (dyadic quotients:
+    # 640/1024 = 0.625), where Python round() is banker's — 0.62, not
+    # the 0.63 a HALF_UP rounding would print
+    cases = [0, 1, 512, 640, 1024, 1536, 1664, 10_000, 1_048_576,
+             2_621_440, 2_752_512, 5 * 1024**3, 3 * 1024**4 + 12345, 1024**5]
     df = spark.createDataFrame([(c,) for c in cases], "b long")
     got = {r["b"]: r["s"] for r in df.select("b", format_size_col(F.col("b")).alias("s")).collect()}
     for c in cases:
