@@ -891,12 +891,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     max_df = 20
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    sh = docs.select(F.col("doc_id"), F.explode(D.shingles_col(F.col("text"))).alias("sh"))
-    # reused by 4 branches (sizes/rare/candidates/verify): lazy cache —
-    # the first consumer materializes it, no dedicated blocking job; at
-    # 100 TB this would be a persisted shingle TABLE, not executor memory
-    sh = sh.persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # ONE pass does all the string work (normalize -> substring shingles
+    # -> xxhash64), snapshotted as per-doc HASH ARRAYS: the 4 consumers
+    # (sizes/rare/candidates/verify) re-explode cheap longs instead of
+    # re-hashing strings, sizes comes from size(hs) with NO shuffle, and
+    # every downstream join keys on 8 bytes instead of a k-char string.
+    # localCheckpoint, not persist: a query entry has no unpersist hook,
+    # and the checkpoint is GC-scoped. (Hashing shingles leaves counts
+    # identical to the string-keyed DuckDB oracle barring 2^-64-scale
+    # xxhash collisions.) At 100 TB the snapshot is a shingle TABLE.
+    arr = docs.select(
+        F.col("doc_id"),
+        F.transform(D.shingles_col(F.col("text")), lambda s: F.xxhash64(s)).alias("hs"),
+    ).localCheckpoint(eager=True)
+    sizes = arr.select("doc_id", F.size("hs").alias("sz"))
+    sh = arr.select(F.col("doc_id"), F.explode("hs").alias("sh"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
     rare_sh = sh.join(rare, "sh")
     cand = (

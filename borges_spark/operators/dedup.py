@@ -227,13 +227,21 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     Jaccard value for each surviving pair is then verified EXACTLY over
     the pair's full shingle sets. A pair sharing only ubiquitous
     shingles is by definition template overlap, not near-duplication.
+
+    All string work happens ONCE: shingles are hashed (xxhash64) inside
+    a per-doc array snapshot, so set sizes come from size() with no
+    shuffle, the consumers re-explode cheap longs, and every join keys
+    on 8 bytes. Hashing leaves set cardinalities intact barring
+    2^-64-scale collisions.
     """
     # parallelize past the source's row-group granularity (see _minhash_wide)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
-    sh = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col), k)).alias("sh")
-    )
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    arr = docs.select(
+        F.col(id_col),
+        F.transform(shingles_col(F.col(text_col), k), lambda s: F.xxhash64(s)).alias("hs"),
+    ).localCheckpoint(eager=True)
+    sizes = arr.select(id_col, F.size("hs").alias("sz"))
+    sh = arr.select(F.col(id_col), F.explode("hs").alias("sh"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
     rare_sh = sh.join(rare, "sh")
     cand = (
@@ -265,47 +273,86 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
 
 
 def duplicate_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                     max_iters: int = 15) -> DataFrame:
+                     max_iters: int = 25, iters_out: list | None = None) -> DataFrame:
     """Connected components over near-dup pair edges: every doc gets
     group_id = min doc id reachable through edges (the canonical
     representative — generalizes the reference's keep-first dedup).
 
-    Iterative min-label propagation: each round every node takes the
-    min of its own label and its neighbors' labels; converges in
-    graph-diameter rounds (band/bucket dup graphs are dense, so the
-    diameter is small). Each iteration is one join + one aggregate;
-    labels are snapshot via localCheckpoint so the plan stays O(1)
-    across iterations — the standard Spark iterative-algorithm pattern.
+    Alternating large-star / small-star (the MapReduce-native CC
+    algorithm — Kiveris et al., 'Connected Components in MapReduce and
+    Beyond'): each iteration hooks every node to the minimum of its
+    neighborhood, converging in O(log n) rounds instead of the
+    O(diameter) min-label propagation this replaces — a 10^10-doc dup
+    graph with long chains finishes in ~30 rounds either way only if
+    the diameter cooperates; log-rounds never depends on it. Every step
+    is a keyed groupBy + equi-join (no driver data); convergence is
+    detected from a (count, hash-XOR) edge-set signature computed over
+    the materialized edge snapshot, not a second comparison join.
+    iters_out (optional list) receives the iteration count.
+
+    Each iteration snapshots its edge set with an eager localCheckpoint:
+    one star round references the previous edge frame ~5 times, so
+    without truncation the LOGICAL plan grows exponentially and Catalyst
+    analysis, not the data, becomes the bottleneck by iteration 3
+    (caching does not help — cache substitution happens after analysis).
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    e = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = ids.select(F.col(id_col).alias("id"), F.col(id_col).alias("group_id"))
-    labels = labels.localCheckpoint(eager=True)
+    prev_sig = None
+    iters = 0
     for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("group_id").alias("nmin"))
+        iters += 1
+        # large-star: every node u links its LARGER neighbors to the min
+        # of its closed neighborhood — long chains halve in one step
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            sym.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )  # invariant: u > v on every edge
+        # small-star: every node u re-links its smaller neighbors (and
+        # itself) to their common minimum
+        smins = ls.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = (
+            ls.join(smins, "u")
+            .select(F.col("v").alias("p"), F.col("m").alias("q"))
+            .unionByName(smins.select(F.col("u").alias("p"), F.col("m").alias("q")))
+            .filter(F.col("p") != F.col("q"))
+            .distinct()
+            .select(F.col("p").alias("u"), F.col("q").alias("v"))
+            .localCheckpoint(eager=True)  # snapshot: truncates the plan
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(F.col("group_id"), F.coalesce("nmin", F.col("group_id"))).alias("group_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            labels.withColumnRenamed("group_id", "old")
-            .join(new_labels, "id")
-            .filter(F.col("old") != F.col("group_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # edge-set signature over the snapshot (row count +
+        # order-independent XOR of row hashes — XOR, not sum: a 64-bit
+        # sum overflows under ANSI arithmetic)
+        row = new_e.agg(
+            F.count("*").alias("c"), F.expr("bit_xor(xxhash64(u, v))").alias("h")
+        ).first()
+        sig = (row["c"], row["h"])
+        e = new_e
+        if sig == prev_sig:
             break
-    return labels.select(F.col("id").alias(id_col), "group_id")
+        prev_sig = sig
+    if iters_out is not None:
+        iters_out.append(iters)
+    # converged state is a disjoint union of stars: each non-root points
+    # at its component min; roots have no outgoing edge -> label self
+    roots = e.groupBy("u").agg(F.min("v").alias("_gid"))
+    out = (
+        ids.select(F.col(id_col).alias("id"))
+        .join(roots, F.col("id") == F.col("u"), "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("_gid"), F.col("id")).alias("group_id"),
+        )
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,18 @@ def add_sequence_with_total(
     return sorted_df.mapInPandas(assign, out_schema), total
 
 
+def _monotone_bucket(group_col: str, dtype) -> F.Column:
+    """A bucket id that is a MONOTONE non-decreasing function of the
+    group key in its ASC sort order — the property that lets a global
+    cumsum decompose into (per-bucket cumsum) + (cumsum over bucket
+    totals) without changing any assigned number. Strings bucket by an
+    8-char prefix (lexicographic order preserved); non-negative numerics
+    by floor(g / 4096)."""
+    if dtype.simpleString() == "string":
+        return F.substring(F.col(group_col), 1, 8)
+    return F.floor(F.col(group_col) / F.lit(4096))
+
+
 def add_group_sequence(
     df: DataFrame,
     group_col: str,
@@ -88,6 +100,7 @@ def add_group_sequence(
     start: int = 0,
     existing_rank_col: str | None = None,
     caches: list | None = None,
+    need_total: bool = True,
 ) -> tuple[DataFrame, int]:
     """Dense global sequence in (group_col ASC, order_within) order —
     the scale-path replacement for `add_sequence_with_total` when the
@@ -102,8 +115,11 @@ def add_group_sequence(
          e.g. the politeness window's host_rank);
       2. per-group counts (map-side-combined aggregation -> n_groups
          rows, orders of magnitude smaller than the data);
-      3. cumulative offsets over the counts in group order (a window
-         over n_groups rows — a single small task, never the data);
+      3. cumulative offsets over the counts in group order, decomposed
+         AGAIN over monotone key buckets: per-bucket cumsum (parallel
+         tasks) + a cumsum over bucket totals (one task over n_buckets
+         rows). No single task ever sorts all n_groups rows — at 10^8
+         distinct hosts per round the flat window was one fat task;
       4. broadcast-join offsets back: seq = start + offset + rank - 1.
 
     The assigned numbers are a pure function of the row data — never of
@@ -111,7 +127,10 @@ def add_group_sequence(
 
     Caller should persist `df` first: it is consumed by both the counts
     aggregation and the final join (one materialization, two cheap reads).
-    Returns (df_with_seq, total_rows); the total falls out of the counts.
+    Returns (df_with_seq, total_rows); the total falls out of the counts
+    UNLESS need_total=False, which skips that driver action entirely
+    (returns -1) — callers that already count the output fold the two
+    jobs into one.
     """
     from pyspark.sql import Window
 
@@ -122,14 +141,31 @@ def add_group_sequence(
     else:
         rank = existing_rank_col
     counts = df.groupBy(group_col).agg(F.count("*").alias("_gcnt"))
-    woff = Window.orderBy(F.col(group_col).asc()).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        group_col, F.coalesce(F.sum("_gcnt").over(woff), F.lit(0)).alias("_goff"), "_gcnt"
-    ).persist()
+    bucket = _monotone_bucket(group_col, df.schema[group_col].dataType)
+    counts = counts.withColumn("_gb", bucket)
+    w_in = (
+        Window.partitionBy("_gb")
+        .orderBy(F.col(group_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("_gcnt").over(w_in), F.lit(0))
+    bucket_totals = counts.groupBy("_gb").agg(F.sum("_gcnt").alias("_bt"))
+    w_b = Window.orderBy(F.col("_gb").asc()).rowsBetween(Window.unboundedPreceding, -1)
+    bucket_offs = bucket_totals.select(
+        "_gb", F.coalesce(F.sum("_bt").over(w_b), F.lit(0)).alias("_boff")
+    )
+    offsets = (
+        counts.withColumn("_woff", within)
+        .join(F.broadcast(bucket_offs), "_gb")
+        .select(group_col, (F.col("_boff") + F.col("_woff")).alias("_goff"), "_gcnt")
+        .persist()
+    )
     if caches is not None:
         caches.append(offsets)
-    total_row = offsets.agg(F.max(F.col("_goff") + F.col("_gcnt")).alias("t")).first()
-    total = int(total_row["t"]) if total_row and total_row["t"] is not None else 0
+    total = -1
+    if need_total:
+        total_row = offsets.agg(F.max(F.col("_goff") + F.col("_gcnt")).alias("t")).first()
+        total = int(total_row["t"]) if total_row and total_row["t"] is not None else 0
     out = (
         df.join(F.broadcast(offsets.drop("_gcnt")), group_col)
         .withColumn(col_name, (F.lit(start) + F.col("_goff") + F.col(rank) - 1).cast("long"))
@@ -140,15 +176,28 @@ def add_group_sequence(
     return out, total
 
 
-def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    target: DataFrame, updates: DataFrame, key: str, broadcast_updates: bool = False
+) -> DataFrame:
     """MERGE INTO emulation: rows in `updates` replace same-key rows in
     `target`; unmatched update rows are inserted.
 
     With Iceberg on the cluster this is a real `MERGE INTO` (SURVEY.md
-    §1.4); on vanilla Parquet it is the standard anti-join + union —
-    one shuffle on the key, no driver data.
+    §1.4); on vanilla Parquet it is the standard anti-join + union.
+
+    broadcast_updates=True is THE scale path when `updates` is bounded
+    (a politeness-budgeted round's Σk rows) and `target` is the huge
+    side (a 10^10-row frontier): the anti-join becomes a broadcast-hash
+    LeftAnti streamed over the target scan — the target NEVER shuffles,
+    matching what Iceberg MERGE's storage-partitioned write would do.
+    Only the update KEY column is broadcast (8 bytes/row), not the rows.
+    Default False: with unbounded updates the keyed shuffle join is the
+    minimal plan.
     """
-    untouched = target.join(updates.select(key), key, "left_anti")
+    keys = updates.select(key)
+    if broadcast_updates:
+        keys = F.broadcast(keys)
+    untouched = target.join(keys, key, "left_anti")
     return untouched.unionByName(updates.select(*target.columns))
 
 

@@ -16,6 +16,7 @@ path open without requiring the jars in this image.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -31,8 +32,24 @@ _HAVE_ICEBERG = False
 
 
 class SnapshotStore:
-    def __init__(self, root: str):
+    """frontier_buckets: when set (the default), the frontier dataset is
+    committed as a url_hash-BUCKETED external table (Spark bucketed
+    parquet — the vanilla-catalog stand-in for an Iceberg table with a
+    bucket(url_hash) partition transform). A bucketed frontier makes the
+    two per-round frontier-wide joins STORAGE-PARTITIONED: the exact
+    seen anti-join and any keyed merge read the frontier scan with NO
+    Exchange on the frontier side — at a 10^10-row frontier that removes
+    the only per-round full-table shuffles. None disables (plain parquet).
+    At 100 TB pick buckets ~ frontier_bytes / 256 MB; the engine aligns
+    its per-round delta to the same bucketing so each commit writes at
+    most 2 files per bucket."""
+
+    def __init__(self, root: str, frontier_buckets: int | None = 32):
         self.root = root
+        self.frontier_buckets = frontier_buckets
+        # catalog-safe unique prefix per store root (tables live in the
+        # session catalog; two stores in one session must not collide)
+        self._digest = hashlib.md5(os.path.abspath(root).encode()).hexdigest()[:10]
         os.makedirs(root, exist_ok=True)
 
     # -- paths ---------------------------------------------------------
@@ -42,39 +59,33 @@ class SnapshotStore:
     def _latest_path(self) -> str:
         return os.path.join(self.root, "LATEST")
 
+    def _frontier_table(self, round_no: int) -> str:
+        return f"borges_{self._digest}_r{round_no:06d}_frontier"
+
     # -- commit protocol -----------------------------------------------
-    def write_snapshot(self, round_no: int, datasets: dict[str, DataFrame], meta: dict | None = None) -> None:
-        """Write all datasets for a round, then commit atomically."""
-        rdir = self._round_dir(round_no)
-        counts: dict[str, int] = {}
-        write_times: dict[str, float] = {}
-
-        # The datasets are independent (shared parents are already cached
-        # by the engine), so submit the write jobs CONCURRENTLY — Spark's
-        # scheduler interleaves their stages, overlapping each job's
-        # driver-side planning latency with the others' executor work.
-        # The commit point (LATEST rename) still happens only after every
-        # write has finished, so atomicity is unchanged.
-        def _write(item):
-            name, df = item
-            t0 = time.time()
-            # snappy, not the session's zstd: snapshots are hot engine
-            # state rewritten every round — encode speed beats ratio here
+    def write_dataset(self, round_no: int, name: str, df: DataFrame) -> float:
+        """Write one dataset of a round (no commit). Returns seconds."""
+        t0 = time.time()
+        # snappy, not the session's zstd: snapshots are hot engine
+        # state rewritten every round — encode speed beats ratio here
+        if name == "frontier" and self.frontier_buckets:
+            self._write_frontier_bucketed(df, round_no)
+        else:
             df.write.mode("overwrite").option("compression", "snappy").parquet(
-                os.path.join(rdir, name)
+                os.path.join(self._round_dir(round_no), name)
             )
-            return name, round(time.time() - t0, 2)
+        return round(time.time() - t0, 2)
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=len(datasets)) as pool:
-            for name, secs in pool.map(_write, datasets.items()):
-                write_times[name] = secs
-        self.last_write_times = write_times
+    def commit_round(self, round_no: int, dataset_names: list[str], meta: dict | None = None) -> None:
+        """Publish a round whose datasets are already written: manifest,
+        then the LATEST pointer via tmp+rename (the atomic commit point).
+        Rounds MUST commit in order — the engine guarantees it by joining
+        round r's deferred writes before committing r+1."""
+        rdir = self._round_dir(round_no)
         manifest = {
             "round": round_no,
-            "datasets": sorted(datasets),
-            "counts": counts,
+            "datasets": sorted(dataset_names),
+            "counts": {},
             "committed_at": time.time(),
             "meta": meta or {},
         }
@@ -84,6 +95,29 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             f.write(str(round_no))
         os.replace(tmp, self._latest_path())  # atomic commit point
+
+    def write_snapshot(self, round_no: int, datasets: dict[str, DataFrame], meta: dict | None = None) -> None:
+        """Write all datasets for a round, then commit atomically.
+
+        The datasets are independent (shared parents are already cached
+        by the engine), so the write jobs run CONCURRENTLY — Spark's
+        scheduler interleaves their stages, overlapping each job's
+        driver-side planning latency with the others' executor work.
+        The commit point (LATEST rename) still happens only after every
+        write has finished, so atomicity is unchanged."""
+        write_times: dict[str, float] = {}
+
+        def _write(item):
+            name, df = item
+            return name, self.write_dataset(round_no, name, df)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(datasets)) as pool:
+            for name, secs in pool.map(_write, datasets.items()):
+                write_times[name] = secs
+        self.last_write_times = write_times
+        self.commit_round(round_no, sorted(datasets), meta)
 
     def latest_round(self) -> int | None:
         p = self._latest_path()
@@ -96,8 +130,45 @@ class SnapshotStore:
         with open(os.path.join(self._round_dir(round_no), "manifest.json")) as f:
             return json.load(f)
 
+    def _write_frontier_bucketed(self, df: DataFrame, round_no: int) -> None:
+        """Commit the frontier as an external bucketed table. No shuffle
+        here: the engine hands a frame whose partitions are already
+        bucket-aligned (the snapshot scan keeps its bucketing through
+        the broadcast anti-join; the round delta was repartitioned by
+        the same hash), so each task writes into a single bucket file."""
+        spark = df.sparkSession
+        tbl = self._frontier_table(round_no)
+        path = os.path.join(self._round_dir(round_no), "frontier")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("path", path)
+            .bucketBy(self.frontier_buckets, "url_hash")
+            .format("parquet")
+            .saveAsTable(tbl)
+        )
+
     def read(self, spark: SparkSession, round_no: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._round_dir(round_no), name))
+        path = os.path.join(self._round_dir(round_no), name)
+        if name == "frontier" and self.frontier_buckets:
+            tbl = self._frontier_table(round_no)
+            if not spark.catalog.tableExists(tbl):
+                # resume in a fresh session: re-register the external
+                # bucketed table over the committed files (bucket ids
+                # ride in the file names, so the layout survives)
+                schema = spark.read.parquet(path).schema
+                ddl = ", ".join(
+                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+                )
+                spark.sql(
+                    f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
+                    f"CLUSTERED BY (url_hash) INTO {self.frontier_buckets} BUCKETS "
+                    f"LOCATION '{path}'"
+                )
+            return spark.table(tbl)
+        return spark.read.parquet(path)
 
     def gc_uncommitted(self) -> None:
         """Drop data for rounds after the last committed snapshot."""

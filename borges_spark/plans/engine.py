@@ -428,12 +428,17 @@ class CrawlEngine:
         # so accumulation is parallelism-invariant.
         contrib = None
         if cfg.order_mode == "opic":
+            # keyed by url_hash (the frontier's identity key) so both
+            # consumers — the new-row priority join and the pending-row
+            # cash fold below — join on the 8-byte key, never the url
+            # string (r2 paid a string-keyed frontier join here)
             contrib = (
                 exploded.withColumn(
                     "cash", F.floor(F.col("parent_priority") / F.col("n_links")).cast("double")
                 )
                 .groupBy("url")
                 .agg(F.sum("cash").alias("cash_add"))
+                .select(url_hash_col("url").alias("url_hash"), "cash_add")
             )
 
         unseen = filter_unseen(candidates, frontier, shards, cfg.bloom, caches=caches).persist()
@@ -448,16 +453,19 @@ class CrawlEngine:
         unseen_b = unseen.withColumn(
             "_pbucket", F.floor(F.col("parent_rank") / F.lit(4096)).cast("long")
         )
-        new_rows, n_new = add_group_sequence(
+        # need_total=False: the total would cost a separate driver action;
+        # new_rows.count() below materializes the same chain anyway and
+        # n_new falls out of it — one job instead of two per round
+        new_rows, _ = add_group_sequence(
             unseen_b, "_pbucket",
             [F.col("parent_rank").asc(), F.col("link_pos").asc(), F.col("url_hash").asc()],
-            "discovered_seq", start=next_seq, caches=caches,
+            "discovered_seq", start=next_seq, caches=caches, need_total=False,
         )
         new_rows = new_rows.drop("_pbucket")
         self.phase_times["fetch_parse_discover_s"] = round(_t.time() - _t0, 2)
         if cfg.order_mode == "opic":
             new_priority = F.coalesce(F.col("cash_add"), F.lit(0.0))
-            new_rows = new_rows.join(contrib, "url", "left")
+            new_rows = new_rows.join(contrib, "url_hash", "left")
         else:
             new_priority = F.lit(1.0) / (1.0 + F.col("depth"))
         new_rows = new_rows.select(
@@ -471,28 +479,59 @@ class CrawlEngine:
             F.lit(round_no + 1).alias("next_allowed_round"),
         ).persist()  # consumed by the frontier merge, metrics, and the shard build
         caches.append(new_rows)
-        new_rows.count()  # materialize ONCE — the three consumers run as
-        # concurrent snapshot writes, and concurrent cache misses would
-        # each recompute the plan instead of sharing it
+        n_new = new_rows.count()  # materialize ONCE — the three consumers
+        # run as concurrent snapshot writes, and concurrent cache misses
+        # would each recompute the plan instead of sharing it. The count
+        # doubles as the discovery total (need_total=False above).
 
         # -- frontier state transitions -----------------------------------
+        # THE frontier-side scale rule: a politeness-bounded round's merge
+        # must stream over the frontier scan, never shuffle it. The
+        # update keys (Σk 8-byte hashes) broadcast into a LeftAnti; OPIC
+        # cash folds into the SAME pass as a url_hash-keyed left join
+        # (r2 ran a second full merge keyed on the url STRING — two extra
+        # frontier shuffles per OPIC round). Only a drain round (Σk past
+        # the broadcast limit) falls back to the keyed shuffle merge,
+        # where the shuffle IS the minimal plan.
         updated = route_fetch_outcomes(
             parsed.select(*_FRONTIER_COLS, "status"),
             round_no, cfg.max_attempts, cfg.retry_backoff_rounds,
         ).select(*_FRONTIER_COLS)
-        merged = merge_upsert(frontier, updated, "url_hash")
+        buckets = getattr(self.store, "frontier_buckets", None)
+        bounded = n_selected <= cfg.broadcast_fetch_limit
+        # contrib rows ~ Σk x out-degree: broadcast only with headroom
+        contrib_bcast = contrib is not None and n_selected <= cfg.broadcast_fetch_limit // 16
+        if buckets:
+            # align the round delta with the snapshot's bucket layout:
+            # repartition(B, url_hash) is the same pmod(murmur3) the
+            # bucketed write uses, so the untouched frontier partitions
+            # (bucketed scan -> broadcast anti, no Exchange) stay pure
+            # buckets and the commit writes <= 2 files per bucket with
+            # zero write-side shuffle. At 100 TB, B is sized so a bucket
+            # is ~256 MB (store docstring); here B=32 mirrors local[32].
+            updated = updated.repartition(buckets, "url_hash")
+        merged = merge_upsert(frontier, updated, "url_hash", broadcast_updates=bounded)
         if contrib is not None:
             # cash flowing to already-known URLs accrues only to rows
             # still pending after this round's fetch routing
-            cash_upd = (
-                merged.filter(F.col("state") == "pending")
-                .join(contrib, "url")
-                .withColumn("priority", F.col("priority") + F.col("cash_add"))
-                .drop("cash_add")
+            cj = F.broadcast(contrib) if contrib_bcast else contrib
+            merged = (
+                merged.join(cj, "url_hash", "left")
+                .withColumn(
+                    "priority",
+                    F.when(
+                        (F.col("state") == "pending") & F.col("cash_add").isNotNull(),
+                        F.col("priority") + F.col("cash_add"),
+                    ).otherwise(F.col("priority")),
+                )
                 .select(*_FRONTIER_COLS)
             )
-            merged = merge_upsert(merged, cash_upd, "url_hash")
-        new_frontier = merged.unionByName(new_rows)
+        delta_new = new_rows.repartition(buckets, "url_hash") if buckets else new_rows
+        new_frontier = merged.unionByName(delta_new)
+        if buckets and (not bounded or (contrib is not None and not contrib_bcast)):
+            # a shuffle already broke bucket alignment upstream; restore
+            # it once so the commit stays <= 2 files/bucket
+            new_frontier = new_frontier.repartition(buckets, "url_hash")
 
         # incremental seen-set: fold only this round's new hashes in
         new_shards = shards
@@ -559,7 +598,15 @@ class CrawlEngine:
             F.lit(0).alias("attempts"),
             F.lit(round_no).alias("next_allowed_round"),
         )
-        return frontier.unionByName(new_rows), next_seq + n
+        return frontier.unionByName(self._bucket_align(new_rows)), next_seq + n
+
+    def _bucket_align(self, frontier: DataFrame) -> DataFrame:
+        """Repartition a frontier frame onto the snapshot store's bucket
+        layout (identity hash: pmod(murmur3(url_hash), B) on both sides)."""
+        buckets = getattr(self.store, "frontier_buckets", None)
+        if buckets:
+            return frontier.repartition(buckets, "url_hash")
+        return frontier
 
     def _load_state(self, resume: bool):
         store, spark = self.store, self.spark
@@ -573,8 +620,10 @@ class CrawlEngine:
             # round 0's frontier is a lazy plan over the seed list; cache it
             # so selection, the seen anti-join, and the merge don't each
             # re-run the seed canonicalization window (later rounds read
-            # the committed snapshot instead — nothing to cache)
-            frontier = self.init_frontier().persist()
+            # the committed snapshot instead — nothing to cache). Bucket-
+            # align it up front so even the FIRST commit writes one file
+            # per bucket.
+            frontier = self._bucket_align(self.init_frontier()).persist()
             start_round = 0
             next_seq = frontier.count()
             if self.cfg.use_bloom:
@@ -633,7 +682,7 @@ class CrawlEngine:
                 if shards is not None:
                     shards.unpersist()
                 self.seeds = seed_batch
-                frontier = self.init_frontier().persist()
+                frontier = self._bucket_align(self.init_frontier()).persist()
                 next_seq = frontier.count()
                 if self.cfg.use_bloom:
                     shards = merge_seen_shards(
@@ -648,51 +697,89 @@ class CrawlEngine:
 
         rounds_run = 0
         round_stats: list[dict] = []
-        for r in range(start_round, limit):
-            import time as _time
+        import time as _time
+        from concurrent.futures import ThreadPoolExecutor
 
-            t0 = _time.time()
-            caches: list = []
-            new_frontier, new_shards, crawl_log, metrics, n_sel, next_seq = self.run_round(
-                frontier, shards, r, next_seq, caches=caches
-            )
-            t1 = _time.time()
-            if n_sel == 0:
-                for c in caches:
-                    c.unpersist()
-                break
-            datasets = {"frontier": new_frontier, "crawl_log": crawl_log, "metrics": metrics}
-            if new_shards is not None:
-                datasets["seen_shards"] = new_shards
-            store.write_snapshot(
-                r,
-                datasets,
-                meta={"next_seq": next_seq, "n_selected": n_sel, "compute_s": round(t1 - t0, 2)},
-            )
-            for c in caches:
+        # Deferred-commit pipeline: each round writes frontier (+ seen
+        # shards) SYNCHRONOUSLY — the next round reads them — while the
+        # fat crawl_log + metrics writes run on background threads,
+        # overlapped FIRST with those sync writes (4-way write
+        # concurrency inside the round) and then with the NEXT round's
+        # compute. They read only this round's cached intermediates, so
+        # no recomputation races the foreground. The manifest/LATEST
+        # publish happens on the foreground joiner strictly in round
+        # order, AFTER all four writes — so resume semantics are
+        # bit-identical: a crash before round r's publish resumes from
+        # the last published round and GC's the newer files.
+        pool = ThreadPoolExecutor(max_workers=2)
+        pending: dict | None = None
+
+        def _join_pending(p: dict | None) -> None:
+            if p is None:
+                return
+            t_w = _time.time()
+            p["fut"].result()
+            store.commit_round(p["round"], p["names"], p["meta"])
+            for c in p["caches"]:
                 c.unpersist()
-            round_stats.append(
-                {
+            p["stats"]["commit_wait_s"] = round(_time.time() - t_w, 2)
+
+        try:
+            for r in range(start_round, limit):
+                t0 = _time.time()
+                caches: list = []
+                new_frontier, new_shards, crawl_log, metrics, n_sel, next_seq = self.run_round(
+                    frontier, shards, r, next_seq, caches=caches
+                )
+                t1 = _time.time()
+                if n_sel == 0:
+                    for c in caches:
+                        c.unpersist()
+                    break
+
+                def _bg(r=r, crawl_log=crawl_log, metrics=metrics):
+                    store.write_dataset(r, "crawl_log", crawl_log)
+                    store.write_dataset(r, "metrics", metrics)
+
+                fut = pool.submit(_bg)  # overlaps the sync writes below
+                names = ["frontier", "crawl_log", "metrics"]
+                store.write_dataset(r, "frontier", new_frontier)
+                if new_shards is not None:
+                    store.write_dataset(r, "seen_shards", new_shards)
+                    names.append("seen_shards")
+                t2 = _time.time()
+                meta = {"next_seq": next_seq, "n_selected": n_sel, "compute_s": round(t1 - t0, 2)}
+                stats = {
                     "round": r,
                     "n_selected": n_sel,
                     "compute_s": round(t1 - t0, 2),
-                    "commit_s": round(_time.time() - t1, 2),
+                    "sync_write_s": round(t2 - t1, 2),
                     **getattr(self, "phase_times", {}),
                 }
-            )
-            if self.cfg.verbose:
-                print(
-                    f"[round {r}] selected={n_sel} next_seq={next_seq} "
-                    f"compute={t1 - t0:.1f}s commit={_time.time() - t1:.1f}s",
-                    flush=True,
-                )
-            # snapshot-backed re-reads: O(1) plan size per round
-            frontier.unpersist()  # no-op except the cached round-0 frontier
-            frontier = store.read(spark, r, "frontier")
-            if shards is not None:
-                shards.unpersist()  # no-op except the cached round-0 shards
-            shards = store.read(spark, r, "seen_shards") if new_shards is not None else None
-            rounds_run += 1
+                _join_pending(pending)  # r-1 publishes before r queues
+                pending = {
+                    "fut": fut, "round": r, "names": names, "meta": meta,
+                    "caches": caches, "stats": stats,
+                }
+                round_stats.append(stats)
+                if self.cfg.verbose:
+                    print(
+                        f"[round {r}] selected={n_sel} next_seq={next_seq} "
+                        f"compute={t1 - t0:.1f}s sync_write={t2 - t1:.1f}s",
+                        flush=True,
+                    )
+                # snapshot-backed re-reads: O(1) plan size per round
+                frontier.unpersist()  # no-op except the cached round-0 frontier
+                frontier = store.read(spark, r, "frontier")
+                if shards is not None:
+                    shards.unpersist()  # no-op except the cached round-0 shards
+                shards = store.read(spark, r, "seen_shards") if new_shards is not None else None
+                rounds_run += 1
+        finally:
+            # drain the in-flight publish even on error — its data writes
+            # are from warm caches and its commit keeps resume monotone
+            _join_pending(pending)
+            pool.shutdown(wait=True)
 
         final_round = store.latest_round()
         return {

@@ -88,6 +88,33 @@ def test_duplicate_groups_chain(spark):
     assert all(v == 0 for v in got.values())
 
 
+def test_duplicate_groups_log_rounds(spark):
+    """The alternating large-star/small-star loop must converge in
+    O(log diameter) rounds — a 64-node chain (diameter 63) in well under
+    63 iterations (min-label propagation would need all 63)."""
+    n = 64
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "id_a long, id_b long")
+    iters: list = []
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in D.duplicate_groups(ids, pairs, iters_out=iters).collect()
+    }
+    assert all(v == 0 for v in got.values())
+    assert iters[0] <= 10, iters  # log2(63) ~ 6 + convergence confirmation
+
+
+def test_duplicate_groups_star_and_isolated(spark):
+    """Mixed topology: a star, an isolated node, a pair with string-ish
+    large ids — labels must be the component minimum everywhere."""
+    ids = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 9, 50, 51]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (51, 50)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in D.duplicate_groups(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 50: 50, 51: 50}
+
+
 def test_fast_hash_mode_same_verified_pairs(spark):
     """hash_mode='fast' (xxhash64, the production path) must find the
     same VERIFIED near-dup pairs as the md5 oracle path on a corpus of

@@ -108,3 +108,70 @@ def test_fetch_join_never_shuffles_page_store(spark, tmp_path):
     with contextlib.redirect_stdout(buf3):
         hits.explain(extended=True)
     assert "ResolvedHint" in buf3.getvalue()  # the bounded round DOES hint
+
+
+def test_frontier_merge_and_seen_antijoin_never_shuffle_frontier(spark, tmp_path):
+    """VERDICT r2 item 1: with the bucketed snapshot store, the two
+    per-round frontier-wide joins are storage-partitioned —
+      (a) the merge anti-join broadcasts the Σk update keys and STREAMS
+          the frontier scan (BroadcastHashJoin LeftAnti, no Exchange);
+      (b) the Bloom-positive exact anti-join reads the frontier through
+          its bucket layout (SortMergeJoin LeftAnti with an Exchange on
+          the small candidate side ONLY — the frontier side plans
+          scan->sort with no Exchange between them).
+    Asserted on plans built from the engine's own committed snapshot."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from borges_spark.operators.frontier import merge_upsert
+    from borges_spark.operators.politeness import PolitenessConfig
+    from borges_spark.plans.checkpoint import SnapshotStore
+    from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
+
+    web = WebConfig(n_pages=400, n_hosts=10, out_degree=3, n_seeds=20)
+    store = SnapshotStore(str(tmp_path / "s"))
+    assert store.frontier_buckets  # bucketing is the default
+    cfg = CrawlConfig(
+        max_rounds=2, politeness=PolitenessConfig(default_delay_s=10.0, round_budget_s=60.0)
+    )
+    eng = CrawlEngine(spark, gen_pages(spark, web), gen_seeds(spark, web), store, cfg)
+    eng.run(resume=False)
+
+    frontier = store.read(spark, store.latest_round(), "frontier")
+    updates = frontier.limit(20)
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")  # as inside the loop
+    try:
+        # (a) bounded-round merge: frontier side streams through a BHJ
+        merge_plan = plan_of(merge_upsert(frontier, updates, "url_hash", broadcast_updates=True))
+        assert "BroadcastHashJoin" in merge_plan and "LeftAnti" in merge_plan
+        assert "Exchange (" not in merge_plan.split("BroadcastHashJoin", 1)[0]
+
+        # (b) exact seen anti-join: bucketed frontier scan, no Exchange.
+        # Auto-broadcast off: at test scale Spark would broadcast the
+        # tiny frontier; the assertion is about the AT-SCALE plan, where
+        # the frontier is far past any broadcast threshold.
+        prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = spark.range(50).select(F.col("id").alias("url_hash"))
+            anti_plan = plan_of(cand.join(frontier.select("url_hash"), "url_hash", "left_anti"))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        assert "SortMergeJoin" in anti_plan and "LeftAnti" in anti_plan
+        assert "Bucketed: true" in anti_plan  # the scan engaged its layout
+        # exactly ONE exchange node in the whole plan tree — the
+        # candidate side; the frontier side has none
+        assert anti_plan.count("Exchange (") == 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
