@@ -1184,6 +1184,86 @@ def q_crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return engine.crawl_log().orderBy("round", "rank_in_round")
 
 
+def _crawl_diff(spark: SparkSession, cfg_kwargs: dict, sim_kwargs: dict) -> DataFrame:
+    """Symmetric difference between the ENGINE's crawl log and the
+    single-process reference SIMULATOR's, over the same deterministic
+    synthetic web: engine ∖ sim ∪ sim ∖ engine on
+    (round, rank, url, status, stage, text). 0 rows == exact
+    equivalence — crawl ordering, status routing, tier transitions, and
+    byte-identical extracted text all fold into the compared tuples —
+    which turns the flagship e2e into a DRIVER-VISIBLE exact gate with
+    a trivially-empty DuckDB oracle."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from borges_spark.operators.politeness import PolitenessConfig
+    from borges_spark.plans.checkpoint import SnapshotStore
+    from borges_spark.plans.engine import CrawlConfig, CrawlEngine
+    from borges_spark.plans.simulator import simulate_crawl
+    from borges_spark.sources.synthetic_web import WebConfig, gen_pages, gen_seeds
+
+    web = WebConfig(n_pages=400, n_hosts=6, out_degree=3, n_seeds=4)
+    pages, seeds = gen_pages(spark, web), gen_seeds(spark, web)
+    pol = PolitenessConfig(default_delay_s=5.0, round_budget_s=60.0)
+    cfg = CrawlConfig(politeness=pol, **cfg_kwargs)
+    store_root = tempfile.mkdtemp(prefix="borges_crawl_diff_")
+    atexit.register(shutil.rmtree, store_root, ignore_errors=True)
+    engine = CrawlEngine(spark, pages, seeds, SnapshotStore(store_root), cfg)
+    engine.run(resume=False)
+    elog = engine.crawl_log().select(
+        F.col("round").cast("int").alias("rno"),
+        F.col("rank_in_round").cast("int").alias("rnk"),
+        "url",
+        "status",
+        F.col("stage").cast("int").alias("stage"),
+        F.coalesce("text", F.lit("")).alias("body"),
+    )
+    pages_d = {r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()}
+    seed_rows = [(r["url"], r["seq"]) for r in seeds.collect()]
+    seen_urls = [r["url"] for r in engine.frontier().select("url").collect()]
+    hdf = spark.createDataFrame([(u,) for u in seen_urls], "url string")
+    hashes = {r["url"]: r["h"] for r in hdf.withColumn("h", F.xxhash64("url")).collect()}
+    sim = simulate_crawl(pages_d, seed_rows, hashes, politeness=pol, **sim_kwargs)
+    slog = spark.createDataFrame(
+        [(t[0], t[1], t[2], t[3], t[5], t[4] or "") for t in sim.crawl_log],
+        "rno int, rnk int, url string, status int, stage int, body string",
+    )
+    return elog.exceptAll(slog).unionByName(slog.exceptAll(elog))
+
+
+def q_crawl_e2e_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship crawl, driver-gated exactly (VERDICT r2 item 4):
+    same web/config as q_crawl_e2e, compared tuple-for-tuple against the
+    reference simulator. Must return ZERO rows."""
+    return _crawl_diff(
+        spark,
+        dict(max_rounds=5, order_mode="fifo", use_bloom=True),
+        dict(order_mode="fifo", max_rounds=5),
+    )
+
+
+def q_two_tier_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained two-tier crawl (ECS metadata pass -> full-HTML pass,
+    ECS/paper_html.py:43, with the :39-42 hour gate on tier 1), driver-
+    gated exactly via the engine-vs-simulator diff. Must return ZERO
+    rows."""
+    stages = dict(n_stages=2, stage_windows=(None, (2, 23)))
+    return _crawl_diff(
+        spark,
+        dict(max_rounds=8, order_mode="fifo", use_bloom=True, **stages),
+        dict(order_mode="fifo", max_rounds=8, **stages),
+    )
+
+
+_CRAWL_DIFF_SQL = """
+SELECT CAST(NULL AS INTEGER) AS rno, CAST(NULL AS INTEGER) AS rnk,
+       CAST(NULL AS VARCHAR) AS url, CAST(NULL AS INTEGER) AS status,
+       CAST(NULL AS INTEGER) AS stage, CAST(NULL AS VARCHAR) AS body
+WHERE FALSE
+"""
+
+
 def q_publisher_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-publisher extraction (F9/F10): JATS XML + ECS HTML fixtures
     through the Arrow-batched parser; golden-value tests live in
@@ -1377,9 +1457,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "ann_lsh": q_ann_lsh,
-        # non-SQL-expressible (rows-only)
+        # engine e2e — crawl_e2e stays rows-only (the raw log); the two
+        # diff queries carry EXACT oracles (0 rows == engine≡simulator)
         "publisher_parse": q_publisher_parse,
         "crawl_e2e": q_crawl_e2e,
+        "crawl_e2e_diff": q_crawl_e2e_diff,
+        "two_tier_crawl": q_two_tier_crawl,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
         "streaming_window": q_streaming_window,
@@ -1431,5 +1514,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ANN_IVF_SQL,
         "ann_lsh": _ANN_LSH_SQL,
         "publisher_parse": _PUBLISHER_PARSE_SQL,
-        # crawl_e2e / multimodal_features / streaming_window: rows-only
+        "crawl_e2e_diff": _CRAWL_DIFF_SQL,
+        "two_tier_crawl": _CRAWL_DIFF_SQL,
+        # crawl_e2e / multimodal_features: rows-only by nature
     }

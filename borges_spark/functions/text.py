@@ -88,6 +88,20 @@ def format_size_col(size_bytes: Column) -> Column:
     )
 
 
+def format_size_py(size_bytes: int) -> str:
+    """Python twin of format_size_col for driver-side progress lines
+    (the SFTP callback — download_via_sftp.py:155-157 prints transfer
+    progress through convert_size). Bit-identical to the reference:
+    same floor(log1024) + round(.., 2) + '%s %s'."""
+    import math
+
+    if size_bytes == 0:
+        return "0B"
+    i = int(math.floor(math.log(size_bytes, 1024)))
+    s = round(size_bytes / math.pow(1024, i), 2)
+    return "%s %s" % (s, _SIZE_NAMES[i])
+
+
 def hash60_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::UBIGINT)::BIGINT"
 

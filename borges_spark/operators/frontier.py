@@ -206,6 +206,7 @@ def route_fetch_outcomes(
     round_no: int,
     max_attempts: int = 3,
     retry_backoff_rounds: int = 1,
+    n_stages: int = 1,
 ) -> DataFrame:
     """Classify fetch results into next frontier states.
 
@@ -214,28 +215,52 @@ def route_fetch_outcomes(
     (Borges/spiders/Elsevier/paper_xml.py:79-90,141-173) and terminal
     failure states (ECS/paper_html.py:61 'Server Issue').
 
+    n_stages > 1 (requires a `stage` column) models the reference's
+    CHAINED crawls natively — the ECS metadata pass whose successes
+    become the full-HTML pass's frontier (`{Scraped: True,
+    Paper_HTML_Scraped: False}`, ECS/paper_html.py:43): a row fetched at
+    stage s < n_stages-1 re-enters the frontier pending at stage s+1
+    with FRESH attempts (each reference script carries its own retry
+    budget), eligible from the next round.
+
     Input columns: frontier columns + `status` int.
-    Output: frontier columns with updated state/attempts/next_allowed_round.
+    Output: frontier columns with updated state/attempts/
+    next_allowed_round (and stage when multi-stage).
     """
     is_ok = F.col("status") == 200
     is_transient = F.col("status").isin(429, 500, 502, 503)
     attempts_next = F.col("attempts") + 1
+    retry = (~is_ok) & is_transient & (attempts_next < max_attempts)
+    promote = (
+        is_ok & (F.col("stage") < F.lit(n_stages - 1))
+        if n_stages > 1 and "stage" in fetched.columns
+        else F.lit(False)
+    )
     state = (
-        F.when(is_ok, F.lit("fetched"))
-        .when(is_transient & (attempts_next < max_attempts), F.lit("error"))
+        F.when(promote, F.lit("pending"))  # next-tier re-entry
+        .when(is_ok, F.lit("fetched"))
+        # 'error' rows go back to pending after a cooldown; model the
+        # quota-stall wait (AIP/paper_index.py:84-99) as round backoff
+        .when(retry, F.lit("pending"))
         .otherwise(F.lit("dead"))
     )
-    # 'error' rows go back to pending after a cooldown; model the
-    # quota-stall wait (AIP/paper_index.py:84-99) as round backoff.
-    next_allowed = F.when(
-        state == "error", F.lit(round_no + 1 + retry_backoff_rounds)
-    ).otherwise(F.col("next_allowed_round"))
-    reentry_state = F.when(state == "error", F.lit("pending")).otherwise(state)
-    return (
-        fetched.withColumn("attempts", attempts_next.cast("int"))
-        .withColumn("next_allowed_round", next_allowed.cast("int"))
-        .withColumn("state", reentry_state)
+    next_allowed = (
+        F.when(promote, F.lit(round_no + 1))
+        .when(retry, F.lit(round_no + 1 + retry_backoff_rounds))
+        .otherwise(F.col("next_allowed_round"))
     )
+    out = (
+        fetched.withColumn(
+            "attempts", F.when(promote, F.lit(0)).otherwise(attempts_next).cast("int")
+        )
+        .withColumn("next_allowed_round", next_allowed.cast("int"))
+        .withColumn("state", state)
+    )
+    if n_stages > 1 and "stage" in fetched.columns:
+        out = out.withColumn(
+            "stage", F.when(promote, F.col("stage") + 1).otherwise(F.col("stage")).cast("int")
+        )
+    return out
 
 
 def error_class_col() -> F.Column:

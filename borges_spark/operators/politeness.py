@@ -159,10 +159,18 @@ def select_round(
     )
     joined = joined.filter(gate & in_window)
 
+    # multi-tier frontiers (engine n_stages > 1): stage ASC leads the
+    # per-host order — earlier-tier rows drain first, mirroring the
+    # reference's run-the-metadata-script-then-the-html-script chain.
+    # Single-tier frontiers carry a constant stage 0, so the key is a
+    # no-op there.
+    lead = [F.col("stage").asc()] if "stage" in eligible.columns else []
     if order_mode == "fifo":
-        order = [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+        order = lead + [F.col("discovered_seq").asc(), F.col("url_hash").asc()]
     else:
-        order = [F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()]
+        order = lead + [
+            F.col("priority").desc(), F.col("discovered_seq").asc(), F.col("url_hash").asc()
+        ]
 
     # hot-host skew pre-prune: the true per-host top-k is a subset of the
     # union of per-(host, salt) top-k's, so pruning first is lossless; the

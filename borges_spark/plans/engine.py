@@ -91,19 +91,29 @@ class CrawlConfig:
     # many selected rows in a round spread over `n_salts` fetch sub-keys
     hot_host_threshold: int = 1000
     n_salts: int = 8
+    # multi-tier crawl stages — the reference's CHAINED scripts run
+    # natively in one frontier (ECS: metadata pass, then the full-HTML
+    # pass over `{Scraped: True, Paper_HTML_Scraped: False}`,
+    # ECS/paper_html.py:43): a row fetched at stage s < n_stages-1
+    # re-enters pending at stage s+1 under fresh attempts. Per-host
+    # selection drains lower stages first; stage_windows[s] (an
+    # (open_hour, close_hour) pair or None) gates a stage by hour of
+    # round, modeling paper_html.py:39-42's 18->7 off-peak window.
+    n_stages: int = 1
+    stage_windows: tuple = ()
     politeness: PolitenessConfig = field(default_factory=PolitenessConfig)
     bloom: BloomConfig = field(default_factory=BloomConfig)
 
 
 _FRONTIER_COLS = [
     "url", "url_hash", "host", "depth", "priority", "discovered_seq",
-    "discovered_round", "state", "attempts", "next_allowed_round",
+    "discovered_round", "state", "attempts", "next_allowed_round", "stage",
 ]
 
 _PARSE_SCHEMA = (
     "url string, url_hash bigint, host string, depth int, priority double, "
     "discovered_seq bigint, discovered_round int, state string, attempts int, "
-    "next_allowed_round int, host_rank int, rank_in_round bigint, status int, "
+    "next_allowed_round int, stage int, host_rank int, rank_in_round bigint, status int, "
     "lang string, text string, links array<string>, n_links int"
 )
 
@@ -233,6 +243,7 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
             F.lit(0).alias("next_allowed_round"),
+            F.lit(0).alias("stage"),
         )
         # duplicate seed URLs: keep the lowest seq (deterministic — the
         # simulator keeps the first in seed order; dropDuplicates would
@@ -247,6 +258,29 @@ class CrawlEngine:
         )
 
     # -- one round ---------------------------------------------------------
+    def _apply_stage_windows(self, eligible: DataFrame, round_no: int) -> DataFrame:
+        """Drop rows whose stage's hour window is closed this round
+        (ECS/paper_html.py:39-42: the full-HTML tier runs 18->7 only).
+        The round's hour is a driver-side constant, so the gate compiles
+        to a plain stage-notin filter — no per-row clock math."""
+        cfg = self.cfg
+        if cfg.n_stages <= 1 or not cfg.stage_windows:
+            return eligible
+        from borges_spark.operators.politeness import hour_of_round
+
+        hour = hour_of_round(round_no, cfg.politeness)
+        closed = []
+        for s, w in enumerate(cfg.stage_windows):
+            if w is None:
+                continue
+            a, b = w
+            in_window = (a <= hour < b) if a <= b else (hour >= a or hour < b)
+            if not in_window:
+                closed.append(s)
+        if not closed:
+            return eligible
+        return eligible.filter(~F.col("stage").isin(closed))
+
     def _apply_robots(self, eligible: DataFrame) -> DataFrame:
         if self.robots is None:
             return eligible
@@ -284,6 +318,7 @@ class CrawlEngine:
             & (F.col("attempts") < cfg.max_attempts)
             & (F.col("next_allowed_round") <= round_no)
         )
+        eligible = self._apply_stage_windows(eligible, round_no)
         eligible = self._apply_robots(eligible)
         selected = select_round(
             eligible, self.budgets, round_no, cfg.politeness, cfg.order_mode,
@@ -395,7 +430,7 @@ class CrawlEngine:
         crawl_log = parsed.select(
             F.lit(round_no).alias("round"),
             F.col("rank_in_round").cast("int"),
-            "url", "host", "status", "text", "lang", "n_links",
+            "url", "host", "status", "stage", "text", "lang", "n_links",
             error_class_col().alias("error_class"),
         )
 
@@ -477,6 +512,7 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
             F.lit(round_no + 1).alias("next_allowed_round"),
+            F.lit(0).alias("stage"),  # discoveries always enter at tier 0
         ).persist()  # consumed by the frontier merge, metrics, and the shard build
         caches.append(new_rows)
         n_new = new_rows.count()  # materialize ONCE — the three consumers
@@ -496,6 +532,7 @@ class CrawlEngine:
         updated = route_fetch_outcomes(
             parsed.select(*_FRONTIER_COLS, "status"),
             round_no, cfg.max_attempts, cfg.retry_backoff_rounds,
+            n_stages=cfg.n_stages,
         ).select(*_FRONTIER_COLS)
         buckets = getattr(self.store, "frontier_buckets", None)
         bounded = n_selected <= cfg.broadcast_fetch_limit
@@ -597,6 +634,7 @@ class CrawlEngine:
             F.lit("pending").alias("state"),
             F.lit(0).alias("attempts"),
             F.lit(round_no).alias("next_allowed_round"),
+            F.lit(0).alias("stage"),
         )
         return frontier.unionByName(self._bucket_align(new_rows)), next_seq + n
 

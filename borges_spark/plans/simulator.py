@@ -34,11 +34,12 @@ class SimEntry:
     state: str = "pending"
     attempts: int = 0
     next_allowed_round: int = 0
+    stage: int = 0
 
 
 @dataclass
 class SimResult:
-    crawl_log: list = field(default_factory=list)  # (round, rank, url, status, text)
+    crawl_log: list = field(default_factory=list)  # (round, rank, url, status, text, stage)
     seen_urls: set = field(default_factory=set)
     rounds_run: int = 0
 
@@ -54,6 +55,8 @@ def simulate_crawl(
     retry_backoff_rounds: int = 1,
     fail_every: int = 0,
     initial_cash: float = 1_000_000.0,
+    n_stages: int = 1,
+    stage_windows: tuple = (),
 ) -> SimResult:
     """pages: url -> raw html bytes.  url_hash: url -> xxhash64 (from Spark,
     so tie-breaks and failure injection agree bit-for-bit with the engine).
@@ -61,7 +64,12 @@ def simulate_crawl(
     order_mode: 'fifo' | 'priority' (depth-weighted) | 'opic' (cash flow:
     fetched pages split integer-valued cash over out-link occurrences;
     integer arithmetic keeps accumulation order-independent, matching
-    the engine exactly)."""
+    the engine exactly).
+
+    n_stages/stage_windows mirror the engine's chained-crawl tiers
+    (ECS metadata -> full-HTML): a 200 at stage s < n_stages-1 re-enters
+    pending at stage s+1 with fresh attempts; stage_windows[s] hour-
+    gates a stage; per-host order drains lower stages first."""
     delays = dict(politeness.host_delays)
     windows = {h: (a, b) for h, a, b in politeness.host_windows}
 
@@ -82,9 +90,19 @@ def simulate_crawl(
     res = SimResult()
     for r in range(max_rounds):
         hour = hour_of_round(r, politeness)
+        def stage_open(stage: int) -> bool:
+            if n_stages <= 1 or stage >= len(stage_windows):
+                return True
+            w = stage_windows[stage]
+            if w is None:
+                return True
+            a, b = w
+            return (a <= hour < b) if a <= b else (hour >= a or hour < b)
+
         eligible = [
             e for e in frontier.values()
-            if e.state == "pending" and e.attempts < max_attempts and e.next_allowed_round <= r
+            if e.state == "pending" and e.attempts < max_attempts
+            and e.next_allowed_round <= r and stage_open(e.stage)
         ]
         # host gates + per-host top-k budget; within-round total order is
         # HOST-MAJOR (host ASC, then the per-host priority/fifo order) —
@@ -107,9 +125,9 @@ def simulate_crawl(
                 if not ok:
                     continue
             if order_mode == "fifo":
-                entries.sort(key=lambda e: (e.discovered_seq, e.url_hash))
+                entries.sort(key=lambda e: (e.stage, e.discovered_seq, e.url_hash))
             else:
-                entries.sort(key=lambda e: (-e.priority, e.discovered_seq, e.url_hash))
+                entries.sort(key=lambda e: (e.stage, -e.priority, e.discovered_seq, e.url_hash))
             selected.extend(entries[:k])
 
         if not selected:
@@ -141,10 +159,16 @@ def simulate_crawl(
                         continue
                     queued.add(link)
                     new_this_round.append((link, e.depth + 1))
-            res.crawl_log.append((r, rank, e.url, status, text))
+            res.crawl_log.append((r, rank, e.url, status, text, e.stage))
 
             e.attempts += 1
-            if status == 200:
+            if status == 200 and e.stage < n_stages - 1:
+                # chained-crawl promotion: fresh attempts, next tier
+                e.stage += 1
+                e.state = "pending"
+                e.attempts = 0
+                e.next_allowed_round = r + 1
+            elif status == 200:
                 e.state = "fetched"
             elif status in (429, 500, 502, 503) and e.attempts < max_attempts:
                 e.state = "pending"

@@ -157,3 +157,67 @@ def test_equivalence_under_politeness_gates(spark, tmp_path):
     # the gates actually bit: h0 absent in non-multiple-of-3 rounds
     h0_rounds = {r["round"] for r in log if r["host"] == "h0.example.com"}
     assert h0_rounds and all(r % 3 == 0 for r in h0_rounds)
+
+
+def test_two_tier_matches_simulator(spark, tmp_path):
+    """Native chained-crawl stages (ECS metadata -> full-HTML,
+    paper_html.py:43): every 200 at stage 0 re-enters pending at stage 1
+    under the stage-1 hour window; engine and simulator must agree on
+    (round, rank, url, status, stage) exactly, and every fetched URL
+    must appear once per tier."""
+    pages = gen_pages(spark, WEB)
+    seeds = gen_seeds(spark, WEB)
+    # stage 1 opens at hour >= 2 (start_hour=0, hour == round here), so
+    # the first tier-1 fetches are forced to wait for round 2+
+    pol = PolitenessConfig(default_delay_s=5.0, round_budget_s=240.0)
+    cfg = CrawlConfig(
+        max_rounds=10, order_mode="fifo", fail_every=11, use_bloom=True,
+        politeness=pol, n_stages=2, stage_windows=(None, (2, 23)),
+    )
+    engine = CrawlEngine(spark, pages, seeds, SnapshotStore(str(tmp_path / "s")), cfg)
+    engine.run(resume=False)
+
+    log = engine.crawl_log().orderBy("round", "rank_in_round").collect()
+    frontier = engine.frontier()
+    pages_d, seed_rows, _ = _sim(spark, pages, seeds)
+    seen_urls = [r["url"] for r in frontier.select("url").collect()]
+    hashes = _all_url_hashes(spark, seen_urls)
+    sim = simulate_crawl(
+        pages_d, seed_rows, hashes, politeness=pol, order_mode="fifo",
+        max_rounds=10, fail_every=11, n_stages=2, stage_windows=(None, (2, 23)),
+    )
+    got = [(r["round"], r["rank_in_round"], r["url"], r["status"], r["stage"]) for r in log]
+    want = [(t[0], t[1], t[2], t[3], t[5]) for t in sim.crawl_log]
+    assert got == want
+    assert {r["url"] for r in frontier.select("url").collect()} == sim.seen_urls
+
+    # chained semantics: every 200-fetched stage-0 URL reappears at
+    # stage 1 (windows permitting within the round budget)
+    s0 = {t[2] for t in sim.crawl_log if t[3] == 200 and t[5] == 0}
+    s1 = {t[2] for t in sim.crawl_log if t[5] == 1}
+    assert s1 and s1 <= s0
+
+
+def test_bucketed_frontier_reregisters_in_fresh_catalog(spark, tmp_path):
+    """Resume in a NEW session: the bucketed frontier table is gone from
+    the (session-scoped) catalog, so store.read must re-register the
+    external bucketed table over the committed files — same rows, and
+    the re-registered scan still engages its bucket layout."""
+    import contextlib
+    import io
+
+    engine, _, _ = _setup(spark, tmp_path, max_rounds=2)
+    engine.run(resume=False)
+    store = engine.store
+    latest = store.latest_round()
+    before = sorted(
+        (r["url_hash"], r["state"]) for r in store.read(spark, latest, "frontier").collect()
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {store._frontier_table(latest)}")  # fresh-session stand-in
+    frontier = store.read(spark, latest, "frontier")
+    after = sorted((r["url_hash"], r["state"]) for r in frontier.collect())
+    assert after == before and len(after) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        frontier.groupBy("url_hash").count().explain("formatted")
+    assert "Bucketed: true" in buf.getvalue()
