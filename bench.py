@@ -240,7 +240,10 @@ def main() -> None:
         # best-of rejects contention without favoring either arm. All
         # samples are recorded alongside for honesty.
         crawl_lows, crawl_highs = [], []
-        for _ in range(2):
+        for _ in range(3):  # 3 interleaved samples/arm: single-leg noise
+            # on this box is ±30%, and the efficiency RATIO pairs two
+            # legs sampled at different box states — best-of-3 rejects
+            # one more contended draw per arm than best-of-2 did
             crawl_lows.append(_run_leg(["--leg", "crawl", "--cores", str(LOW), "--web", web_root]))
             crawl_highs.append(_run_leg(["--leg", "crawl", "--cores", str(HIGH), "--web", web_root]))
         crawl_low = max(crawl_lows, key=lambda c: c["urls_per_s"])

@@ -177,7 +177,11 @@ def add_group_sequence(
 
 
 def merge_upsert(
-    target: DataFrame, updates: DataFrame, key: str, broadcast_updates: bool = False
+    target: DataFrame,
+    updates: DataFrame,
+    key: str,
+    broadcast_updates: bool = False,
+    repartition_to: int | None = None,
 ) -> DataFrame:
     """MERGE INTO emulation: rows in `updates` replace same-key rows in
     `target`; unmatched update rows are inserted.
@@ -193,7 +197,18 @@ def merge_upsert(
     Only the update KEY column is broadcast (8 bytes/row), not the rows.
     Default False: with unbounded updates the keyed shuffle join is the
     minimal plan.
+
+    repartition_to (shuffle path only): pre-partition BOTH join sides to
+    exactly this many hash partitions on the key, so the join reuses the
+    partitioning (no extra exchange) and the output lands ALREADY in a
+    bucketed store's layout — one pass instead of join-then-repartition.
     """
+    if not broadcast_updates and repartition_to:
+        target = target.repartition(repartition_to, key)
+        updates = updates.repartition(repartition_to, key)
+        # keys project from the repartitioned frame, so the anti-join
+        # sees both sides hash-partitioned (key, N) — no added exchange —
+        # and the union (untouched + updates) is uniformly N-partitioned
     keys = updates.select(key)
     if broadcast_updates:
         keys = F.broadcast(keys)

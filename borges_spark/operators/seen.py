@@ -148,12 +148,20 @@ def merge_seen_shards(
     return both.groupBy("shard").applyInPandas(_or, SEEN_SHARDS_SCHEMA)
 
 
+def resolve_probe(cfg: BloomConfig) -> str:
+    """The probe strategy 'auto' resolves to for this filter size."""
+    if cfg.probe != "auto":
+        return cfg.probe
+    return "broadcast" if cfg.total_bytes <= cfg.broadcast_max_bytes else "cogroup"
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     shards: DataFrame | None = None,
     cfg: BloomConfig = BloomConfig(),
     caches: list | None = None,
+    prefetched_shards: list | None = None,
 ) -> DataFrame:
     """Exact set-difference candidates ∖ seen on `url_hash`.
 
@@ -167,17 +175,19 @@ def filter_unseen(
     the probe stays lazy — a standalone caller has no unpersist hook, and
     silently pinning executor memory across invocations of a long-lived
     session is worse than re-running the (vectorized, cheap) probe.
+
+    `prefetched_shards`: the shard rows if the caller already collected
+    them (the engine overlaps that collect with round selection);
+    broadcast probe only.
     """
     if shards is None:
         return candidates.join(seen.select("url_hash"), "url_hash", "left_anti")
 
-    probe = cfg.probe
-    if probe == "auto":
-        probe = "broadcast" if cfg.total_bytes <= cfg.broadcast_max_bytes else "cogroup"
+    probe = resolve_probe(cfg)
     if probe == "cogroup":
         flagged = _probe_cogroup(candidates, shards, cfg)
     else:
-        flagged = _probe_broadcast(candidates, shards, cfg)
+        flagged = _probe_broadcast(candidates, shards, cfg, rows=prefetched_shards)
     if caches is not None:
         flagged = flagged.persist()
         caches.append(flagged)
@@ -232,11 +242,14 @@ def _probe_cogroup(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -
     )
 
 
-def _probe_broadcast(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -> DataFrame:
+def _probe_broadcast(
+    candidates: DataFrame, shards: DataFrame, cfg: BloomConfig, rows: list | None = None
+) -> DataFrame:
     """Driver-broadcast probe — right when the whole filter is small
-    (tests, small crawls): one vectorized pandas UDF, no shuffle."""
+    (tests, small crawls): one vectorized pandas UDF, no shuffle.
+    `rows`: pre-collected shard rows (skips the blocking collect)."""
     spark = candidates.sparkSession
-    shard_rows = shards.collect()
+    shard_rows = rows if rows is not None else shards.collect()
     filters = {
         r["shard"]: np.frombuffer(r["bloom_bits"], dtype=np.uint64)
         for r in shard_rows

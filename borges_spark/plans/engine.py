@@ -313,6 +313,22 @@ class CrawlEngine:
         _t0 = _t.time()
         if caches is None:
             caches = []
+        # prefetch the Bloom shard rows on a side thread: the broadcast
+        # probe needs them collected at plan-build time, and the collect
+        # (shard build at round 0, snapshot read later) otherwise sits
+        # serially inside the round — overlapping it with selection
+        # hides it entirely
+        shards_fut = None
+        if shards is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from borges_spark.operators.seen import resolve_probe
+
+            if resolve_probe(cfg.bloom) == "broadcast":
+                pool = getattr(self, "_prefetch_pool", None)
+                if pool is None:
+                    pool = self._prefetch_pool = ThreadPoolExecutor(max_workers=1)
+                shards_fut = pool.submit(shards.collect)
         eligible = frontier.filter(
             (F.col("state") == "pending")
             & (F.col("attempts") < cfg.max_attempts)
@@ -365,6 +381,7 @@ class CrawlEngine:
 
         _parse_cols = [*_FRONTIER_COLS, "host_rank", "rank_in_round", "status", "lang", "html"]
 
+        big_round = False  # set by the table-mode fetch strategy below
         if cfg.fetch_mode == "http":
             # live fetch (or file:// offline): hot politeness buckets fan
             # out over salted sub-keys; partition by the salted host key
@@ -476,7 +493,10 @@ class CrawlEngine:
                 .select(url_hash_col("url").alias("url_hash"), "cash_add")
             )
 
-        unseen = filter_unseen(candidates, frontier, shards, cfg.bloom, caches=caches).persist()
+        unseen = filter_unseen(
+            candidates, frontier, shards, cfg.bloom, caches=caches,
+            prefetched_shards=shards_fut.result() if shards_fut is not None else None,
+        ).persist()
         caches.append(unseen)
         # Discovery order is parent-major: (parent_rank ASC, link_pos ASC,
         # url_hash ASC) — same group-decomposed dense numbering as the
@@ -535,10 +555,18 @@ class CrawlEngine:
             n_stages=cfg.n_stages,
         ).select(*_FRONTIER_COLS)
         buckets = getattr(self.store, "frontier_buckets", None)
-        bounded = n_selected <= cfg.broadcast_fetch_limit
+        # a drain round (table mode Σk ~ store size) must not pay a
+        # driver-side broadcast build of Σk keys — the shuffle IS the
+        # minimal plan there, exactly like its fetch join
+        drain = cfg.fetch_mode != "http" and big_round
+        bounded = n_selected <= cfg.broadcast_fetch_limit and not drain
         # contrib rows ~ Σk x out-degree: broadcast only with headroom
-        contrib_bcast = contrib is not None and n_selected <= cfg.broadcast_fetch_limit // 16
-        if buckets:
+        contrib_bcast = (
+            contrib is not None
+            and not drain
+            and n_selected <= cfg.broadcast_fetch_limit // 16
+        )
+        if buckets and bounded:
             # align the round delta with the snapshot's bucket layout:
             # repartition(B, url_hash) is the same pmod(murmur3) the
             # bucketed write uses, so the untouched frontier partitions
@@ -547,7 +575,13 @@ class CrawlEngine:
             # zero write-side shuffle. At 100 TB, B is sized so a bucket
             # is ~256 MB (store docstring); here B=32 mirrors local[32].
             updated = updated.repartition(buckets, "url_hash")
-        merged = merge_upsert(frontier, updated, "url_hash", broadcast_updates=bounded)
+        # drain rounds: the merge's own shuffle lands DIRECTLY on the
+        # bucket layout (repartition_to) — one pass, no join-then-
+        # repartition double shuffle
+        merged = merge_upsert(
+            frontier, updated, "url_hash", broadcast_updates=bounded,
+            repartition_to=buckets if (buckets and not bounded) else None,
+        )
         if contrib is not None:
             # cash flowing to already-known URLs accrues only to rows
             # still pending after this round's fetch routing
@@ -563,11 +597,18 @@ class CrawlEngine:
                 )
                 .select(*_FRONTIER_COLS)
             )
-        delta_new = new_rows.repartition(buckets, "url_hash") if buckets else new_rows
+        # the merge output is bucket-aligned in BOTH regimes (broadcast
+        # preserves the scan's layout; the drain shuffle targeted it);
+        # only a non-broadcast OPIC cash join can break alignment
+        aligned = contrib is None or contrib_bcast
+        delta_new = (
+            new_rows.repartition(buckets, "url_hash") if buckets and aligned else new_rows
+        )
         new_frontier = merged.unionByName(delta_new)
-        if buckets and (not bounded or (contrib is not None and not contrib_bcast)):
-            # a shuffle already broke bucket alignment upstream; restore
-            # it once so the commit stays <= 2 files/bucket
+        if buckets and not aligned:
+            # the cash join shuffled anyway: ONE post-union repartition
+            # restores the bucket layout so the commit stays at a few
+            # files/bucket without any doubled delta shuffle
             new_frontier = new_frontier.repartition(buckets, "url_hash")
 
         # incremental seen-set: fold only this round's new hashes in
@@ -658,10 +699,11 @@ class CrawlEngine:
             # round 0's frontier is a lazy plan over the seed list; cache it
             # so selection, the seen anti-join, and the merge don't each
             # re-run the seed canonicalization window (later rounds read
-            # the committed snapshot instead — nothing to cache). Bucket-
-            # align it up front so even the FIRST commit writes one file
-            # per bucket.
-            frontier = self._bucket_align(self.init_frontier()).persist()
+            # the committed snapshot instead — nothing to cache). NOT
+            # bucket-aligned: the alignment shuffle would cost a full
+            # seed-set pass and buys only first-commit file count — the
+            # bucketed read re-derives the layout from file names anyway.
+            frontier = self.init_frontier().persist()
             start_round = 0
             next_seq = frontier.count()
             if self.cfg.use_bloom:
@@ -720,7 +762,7 @@ class CrawlEngine:
                 if shards is not None:
                     shards.unpersist()
                 self.seeds = seed_batch
-                frontier = self._bucket_align(self.init_frontier()).persist()
+                frontier = self.init_frontier().persist()
                 next_seq = frontier.count()
                 if self.cfg.use_bloom:
                     shards = merge_seen_shards(
@@ -824,7 +866,9 @@ class CrawlEngine:
             "rounds_run": rounds_run,
             "final_round": final_round,
             "next_seq": next_seq,
-            "frontier_size": frontier.count(),
+            # every frontier row was assigned a discovered_seq exactly
+            # once, so size == next_seq — no closing full-table scan
+            "frontier_size": next_seq,
             "round_stats": round_stats,
         }
 
