@@ -1386,6 +1386,69 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode with an EXACT oracle: deterministic BMP images,
+    PCM WAVs and Y4M video streams built from index math, decoded by the
+    pure-numpy codec parsers (operators/codecs) inside the Arrow
+    pipeline. The checked outputs are the exactly-representable feature
+    components (dims, constant-plane luma, sample-count duration, frame
+    counts), so the value hash is deterministic cross-engine while the
+    decode underneath is genuine header/plane/sample parsing."""
+    import numpy as np
+
+    from borges_spark.operators import codecs as C
+    from borges_spark.operators.multimodal import extract_features
+
+    rows = []
+    for i in range(30):  # constant-value BMPs: mean==v, std==0, grid==v
+        w, h, v = 4 + i % 3, 2 + i % 2, i % 200
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        rows.append((f"img{i}", "image", "image/bmp", bytearray(C.encode_bmp(img)), None))
+    for i in range(20):  # silent PCM: duration exactly i ms at 8 kHz
+        wav = C.encode_wav(np.zeros((8 * i + 8, 1), dtype=np.float32), 8000)
+        rows.append((f"aud{i}", "audio", "audio/wav", bytearray(wav), None))
+    for i in range(10):  # 3 constant frames, sampled every 2nd -> 2 kept
+        v = 10 + i
+        y4m = C.encode_y4m([np.full((2, 4), v, dtype=np.uint8)] * 3)
+        rows.append((f"vid{i}", "video", "video/x-y4m", bytearray(y4m), None))
+    media = spark.createDataFrame(
+        rows,
+        "media_id string, kind string, mime string, payload binary, "
+        "meta struct<width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        F.element_at("feature", 1).cast("double").alias("f0"),
+        F.element_at("feature", 2).cast("double").alias("f1"),
+        F.element_at("feature", 3).cast("double").alias("f2"),
+        F.element_at("feature", 4).cast("double").alias("f3"),
+    )
+
+
+_MULTIMODAL_CODECS_SQL = """
+SELECT 'img' || CAST(i.range AS VARCHAR) AS media_id, 'image' AS kind,
+       CAST(4 + i.range % 3 AS DOUBLE) AS f0,
+       CAST(2 + i.range % 2 AS DOUBLE) AS f1,
+       CAST(i.range % 200 AS DOUBLE) AS f2,
+       CAST(0 AS DOUBLE) AS f3
+FROM range(0, 30) i
+UNION ALL
+SELECT 'aud' || CAST(i.range AS VARCHAR), 'audio',
+       CAST(i.range + 1 AS DOUBLE),  -- (8i+8) samples @8kHz == i+1 ms
+       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+FROM range(0, 20) i
+UNION ALL
+SELECT 'vid' || CAST(i.range AS VARCHAR), 'video',
+       CAST(4 AS DOUBLE),  -- W
+       CAST(2 AS DOUBLE),  -- H
+       CAST(2 AS DOUBLE),  -- frames kept (every 2nd of 3)
+       CAST(10 + i.range AS DOUBLE)  -- first sampled frame's luma mean
+FROM range(0, 10) i
+"""
+
+
 def q_streaming_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked window agg over the events
     parquet, drained synchronously in COMPLETE mode — at drain time the
@@ -1465,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_tier_crawl": q_two_tier_crawl,
         "multimodal_features": q_multimodal_features,
         "multimodal_pipeline": q_multimodal_pipeline,
+        "multimodal_codecs": q_multimodal_codecs,
         "streaming_window": q_streaming_window,
     }
 
@@ -1489,6 +1553,7 @@ def oracle_sql() -> dict[str, str]:
         "random_sample": _RANDOM_SAMPLE_SQL,
         "schema_migrate": _SCHEMA_MIGRATE_SQL,
         "multimodal_pipeline": _MULTIMODAL_SQL,
+        "multimodal_codecs": _MULTIMODAL_CODECS_SQL,
         "streaming_window": _STREAMING_WINDOW_SQL,
         "explode_positions": _EXPLODE_SQL,
         "scalar_parsing": _SCALAR_SQL,

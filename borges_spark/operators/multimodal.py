@@ -1,10 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary.
 
-Real decode libraries (PIL, ffmpeg, torchaudio) are not in this image,
-so the decode kernels are STUBS — either a clearly-marked
-NotImplementedError or a deterministic fake — but everything Spark-side
-is real and tested: schemas, typed metadata structs, Arrow batch shape
-through mapInPandas, and partition sizing for large blobs.
+Decode is TIERED by format:
+
+  - library-free formats decode FOR REAL via pure-numpy parsers
+    (operators/codecs): BMP / P6-PPM images, PCM WAV audio, and
+    YUV4MPEG2 video streams (frame-sampled) — genuine headers, planes
+    and samples, with resize and feature math on the decoded arrays;
+  - codec-bound formats (JPEG, MP4, ...) would need PIL/ffmpeg, which
+    are not in this image: those payloads take the clearly-marked
+    deterministic byte-moment fallback (and empty payloads raise), so
+    the Spark plumbing stays fully exercised end-to-end.
 
 This mirrors how the reference treats `Paper_Content` as an opaque
 bytes blob with size-aware handling (DocumentTooLarge routing —
@@ -70,25 +75,40 @@ def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
     )
 
 
-def _decode_image(payload: bytes) -> list[float]:  # pragma: no cover - stub
-    """STUB: real impl would PIL-decode + resize + embed.
-
-    Deterministic fake: 4 moments of the byte distribution, so the
-    Spark plumbing (batching, schema, nullability) is fully exercised.
-    """
+def _decode_image(payload: bytes) -> list[float]:
+    """Image features. BMP/PPM payloads decode for real (pure-numpy
+    header+plane parsers, nearest-neighbor resize, grid-luma features);
+    codec-bound formats fall back to the deterministic byte-moment
+    vector so the pipeline shape stays exercised without PIL."""
     if not payload:
-        raise NotImplementedError("image decode requires a real codec library")
-    b = memoryview(payload)
+        raise NotImplementedError("image decode requires a payload")
+    from borges_spark.operators import codecs
+
+    fmt = codecs.sniff(payload)
+    if fmt == "bmp":
+        return codecs.image_features(codecs.decode_bmp(payload))
+    if fmt == "ppm":
+        return codecs.image_features(codecs.decode_ppm(payload))
+    b = memoryview(payload)  # codec-bound fallback (JPEG/PNG/...)
     n = len(b)
     mean = sum(b) / n
     return [float(n % 251), float(mean), float(b[0]), float(b[-1])]
 
 
 def _decode_audio_frames(payload: bytes) -> list[float]:
-    """STUB frame-sampler: real impl would ffmpeg-decode; deterministic
-    fake samples every 1024th byte."""
+    """Audio/video features. PCM WAV decodes for real (RIFF chunk walk,
+    float samples -> duration/RMS/peak/ZCR); Y4M video streams frame-
+    sample for real (every 2nd frame's luma mean, chroma skipped);
+    codec-bound formats fall back to the deterministic byte sampler."""
     if not payload:
-        raise NotImplementedError("audio decode requires a real codec library")
+        raise NotImplementedError("audio decode requires a payload")
+    from borges_spark.operators import codecs
+
+    fmt = codecs.sniff(payload)
+    if fmt == "wav":
+        return codecs.audio_features(*codecs.decode_wav(payload))
+    if fmt == "y4m":
+        return codecs.video_features(payload)
     return [float(x) for x in payload[::1024][:8]] or [0.0]
 
 
