@@ -14,9 +14,15 @@ paper_index.py:142-143) plus Scrapy's request dupefilter
      positives — correctness never depends on the filter (no false
      negatives by construction), so the final seen set is exact.
 
-Spill tier: shards whose fill ratio exceeds `max_fill` are marked
-'exact' (cuckoo-style overflow) — their candidates always take the
-exact join, keeping false-positive rates bounded on hot shards.
+Spill tier: a shard whose Bloom fill ratio would exceed `max_fill` at
+BUILD time spills to a real CUCKOO FILTER (partial-key cuckoo hashing:
+16-bit fingerprints, 4-slot buckets, two candidate buckets i1 and
+i1 XOR H(fp), bounded eviction with doubling growth) — membership stays
+exact-no-false-negative and insertable, so later rounds keep folding
+hashes in, and false-positive rates stay bounded on hot shards without
+abandoning the filter. A Bloom shard that only overfills LATER (merge
+time) degrades to the 'exact' tier (its keys are no longer recoverable
+from the bits), which always routes through the exact join.
 """
 
 from __future__ import annotations
@@ -80,15 +86,125 @@ def _positions(hashes: np.ndarray, cfg: BloomConfig) -> tuple[np.ndarray, np.nda
     return rows, pos.reshape(-1)
 
 
+# --- cuckoo spill tier ------------------------------------------------
+# Partial-key cuckoo hashing (Fan et al., "Cuckoo Filter: Practically
+# Better Than Bloom"): fingerprint fp = 16 key bits (0 reserved for
+# empty), candidate buckets i1 = h mod n and i2 = i1 XOR H(fp) — the
+# XOR form lets any stored (bucket, fp) entry recover its alternate
+# bucket, which is what makes insertion, eviction and table growth
+# possible without the original keys.
+
+_CK_SLOTS = 4
+_CK_MAX_KICKS = 500
+_CK_FP_MULT = 0x5BD1E995  # Murmur-ish odd multiplier for H(fp)
+
+
+def _ck_fp_i1(h: np.ndarray, n_buckets: int):
+    fp = ((h.astype(np.uint64) >> np.uint64(45)) & np.uint64(0xFFFF)).astype(np.uint16)
+    fp = np.where(fp == 0, np.uint16(1), fp)
+    i1 = (h.astype(np.uint64) & np.uint64(n_buckets - 1)).astype(np.int64)
+    return fp, i1
+
+
+def _ck_alt(i: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    return i ^ ((fp.astype(np.int64) * _CK_FP_MULT) & (n_buckets - 1))
+
+
+def _ck_empty(n_keys: int) -> np.ndarray:
+    """Table sized for ~0.75 max load: n/3 4-slot buckets, power of 2."""
+    n_buckets = 1 << max(4, int(np.ceil(np.log2(max(n_keys, 1) / 3 + 1))))
+    return np.zeros((n_buckets, _CK_SLOTS), dtype=np.uint16)
+
+
+def _ck_insert_many(table: np.ndarray, hashes: np.ndarray) -> np.ndarray | None:
+    """Insert (sorted for a deterministic layout); returns the table, or
+    None when an eviction chain exhausts _CK_MAX_KICKS — a partial-key
+    cuckoo filter cannot RESIZE without the original keys (only
+    fingerprints are stored; i1's high bits are unrecoverable), so the
+    caller degrades the shard to the 'exact' tier instead of risking a
+    false negative. Per-key python loop — runs executor-side on ONE
+    shard's keys, and spill shards are the sized-for exception, not the
+    steady state."""
+    n_buckets = table.shape[0]
+    rng_state = 0x9E3779B9
+    for h in np.sort(hashes.astype(np.uint64)):
+        fp_a, i1_a = _ck_fp_i1(np.array([h], dtype=np.uint64), n_buckets)
+        fp, i1 = int(fp_a[0]), int(i1_a[0])
+        i2 = i1 ^ ((fp * _CK_FP_MULT) & (n_buckets - 1))
+        if fp in table[i1] or fp in table[i2]:
+            continue  # already present (or indistinguishable twin)
+        placed = False
+        for b in (i1, i2):
+            empty = np.where(table[b] == 0)[0]
+            if len(empty):
+                table[b, empty[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # evict: deterministic pseudo-random walk
+        cur_b, cur_fp, ok = i1, fp, False
+        for _ in range(_CK_MAX_KICKS):
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % _CK_SLOTS
+            cur_fp, table[cur_b, slot] = int(table[cur_b, slot]), cur_fp
+            cur_b = cur_b ^ ((cur_fp * _CK_FP_MULT) & (n_buckets - 1))
+            empty = np.where(table[cur_b] == 0)[0]
+            if len(empty):
+                table[cur_b, empty[0]] = cur_fp
+                ok = True
+                break
+        if not ok:
+            return None  # overflow -> exact tier
+    return table
+
+
+def _ck_lookup(table: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Vectorized membership: fp present in either candidate bucket."""
+    n_buckets = table.shape[0]
+    fp, i1 = _ck_fp_i1(hashes, n_buckets)
+    i2 = _ck_alt(i1, fp, n_buckets)
+    hit1 = (table[i1] == fp[:, None]).any(axis=1)
+    hit2 = (table[i2] == fp[:, None]).any(axis=1)
+    return hit1 | hit2
+
+
+def _ck_serialize(table: np.ndarray) -> bytes:
+    import struct
+
+    return struct.pack("<Q", table.shape[0]) + table.tobytes()
+
+
+def _ck_deserialize(blob: bytes) -> np.ndarray:
+    import struct
+
+    n_buckets = struct.unpack_from("<Q", blob, 0)[0]
+    return (
+        np.frombuffer(blob, dtype=np.uint16, offset=8)
+        .reshape(n_buckets, _CK_SLOTS)
+        .copy()
+    )
+
+
 def _build_shard(pdf: pd.DataFrame, cfg: BloomConfig) -> pd.DataFrame:
     shard = int(pdf["shard"].iloc[0])
+    hashes = pdf["url_hash"].to_numpy()
     bits = np.zeros(cfg.bits_per_shard // _WORD_BITS, dtype=np.uint64)
-    _, pos = _positions(pdf["url_hash"].to_numpy(), cfg)
+    _, pos = _positions(hashes, cfg)
     np.bitwise_or.at(bits, (pos // _WORD_BITS).astype(np.int64), np.uint64(1) << (pos % _WORD_BITS))
     fill = float(np.unpackbits(bits.view(np.uint8)).mean())
-    tier = "exact" if fill > cfg.max_fill else "bloom"
+    if fill > cfg.max_fill:
+        # spill tier: a REAL cuckoo filter sized for the keys — no false
+        # negatives, still insertable by later merges
+        table = _ck_insert_many(_ck_empty(len(hashes)), hashes.astype(np.uint64))
+        if table is None:  # astronomically unlikely at 0.75 load
+            tier, blob = "exact", bits.tobytes()
+        else:
+            tier, blob = "cuckoo", _ck_serialize(table)
+    else:
+        tier, blob = "bloom", bits.tobytes()
     return pd.DataFrame(
-        {"shard": [shard], "tier": [tier], "n_urls": [len(pdf)], "bloom_bits": [bits.tobytes()]}
+        {"shard": [shard], "tier": [tier], "n_urls": [len(pdf)], "bloom_bits": [blob]}
     )
 
 
@@ -119,33 +235,57 @@ def merge_seen_shards(
     additions: DataFrame,
     cfg: BloomConfig = BloomConfig(),
 ) -> DataFrame:
-    """Incrementally fold new url_hashes into existing shards: build
-    shards for the additions, union with the old rows, bitwise-OR per
-    shard (distributed applyInPandas — one row per shard). Cost is
-    O(additions + n_shards), not O(total seen set) — the property that
-    keeps per-round work constant as the frontier grows to 10^10."""
-    new = build_seen_shards(additions, cfg)
+    """Incrementally fold new url_hashes into existing shards: the raw
+    addition HASHES cogroup with their shard's row, so each executor
+    task updates one shard in place — Bloom shards set bits, cuckoo
+    shards insert fingerprints, and tier transitions happen where the
+    information exists (bloom->exact when the bits overfill, since a
+    bloom's keys are unrecoverable; cuckoo->exact only on eviction
+    overflow). Cost is O(additions + n_shards), not O(total seen set) —
+    the property that keeps per-round work constant as the frontier
+    grows to 10^10."""
     if old is None:
-        return new
-    both = old.unionByName(new)
+        return build_seen_shards(additions, cfg)
+    keyed = additions.select(
+        "url_hash", F.pmod("url_hash", F.lit(cfg.n_shards)).cast("int").alias("shard")
+    )
 
-    def _or(pdf: pd.DataFrame) -> pd.DataFrame:
-        shard = int(pdf["shard"].iloc[0])
-        bits = np.zeros(cfg.bits_per_shard // _WORD_BITS, dtype=np.uint64)
-        for blob in pdf["bloom_bits"]:
-            bits |= np.frombuffer(blob, dtype=np.uint64)
-        fill = float(np.unpackbits(bits.view(np.uint8)).mean())
-        tier = "exact" if (fill > cfg.max_fill or (pdf["tier"] == "exact").any()) else "bloom"
+    def _merge(old_pdf: pd.DataFrame, add_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(old_pdf) == 0:
+            return _build_shard(add_pdf, cfg)  # shard seen for the first time
+        if len(add_pdf) == 0:
+            return old_pdf[["shard", "tier", "n_urls", "bloom_bits"]]
+        shard = int(old_pdf["shard"].iloc[0])
+        tier = str(old_pdf["tier"].iloc[0])
+        blob = bytes(old_pdf["bloom_bits"].iloc[0])
+        n_urls = int(old_pdf["n_urls"].sum()) + len(add_pdf)
+        hashes = add_pdf["url_hash"].to_numpy()
+        if tier == "cuckoo":
+            table = _ck_insert_many(_ck_deserialize(blob), hashes.astype(np.uint64))
+            if table is None:
+                tier = "exact"
+            else:
+                blob = _ck_serialize(table)
+        elif tier == "bloom":
+            bits = np.frombuffer(blob, dtype=np.uint64).copy()
+            _, pos = _positions(hashes, cfg)
+            np.bitwise_or.at(
+                bits, (pos // _WORD_BITS).astype(np.int64), np.uint64(1) << (pos % _WORD_BITS)
+            )
+            fill = float(np.unpackbits(bits.view(np.uint8)).mean())
+            if fill > cfg.max_fill:
+                tier = "exact"  # keys not recoverable from bits
+            blob = bits.tobytes()
+        # tier == "exact": stays exact; the blob is vestigial
         return pd.DataFrame(
-            {
-                "shard": [shard],
-                "tier": [tier],
-                "n_urls": [int(pdf["n_urls"].sum())],
-                "bloom_bits": [bits.tobytes()],
-            }
+            {"shard": [shard], "tier": [tier], "n_urls": [n_urls], "bloom_bits": [blob]}
         )
 
-    return both.groupBy("shard").applyInPandas(_or, SEEN_SHARDS_SCHEMA)
+    return (
+        old.groupBy("shard")
+        .cogroup(keyed.groupBy("shard"))
+        .applyInPandas(lambda left, right: _merge(left, right), SEEN_SHARDS_SCHEMA)
+    )
 
 
 def resolve_probe(cfg: BloomConfig) -> str:
@@ -224,15 +364,23 @@ def _probe_cogroup(candidates: DataFrame, shards: DataFrame, cfg: BloomConfig) -
             out["_maybe_seen"] = False  # shard holds no seen URLs
             return out
         if (shard_pdf["tier"] == "exact").any():
-            out["_maybe_seen"] = True  # spill tier: always take the exact join
+            out["_maybe_seen"] = True  # degraded tier: always take the exact join
             return out
-        bits = np.zeros(cfg.bits_per_shard // _WORD_BITS, dtype=np.uint64)
-        for blob in shard_pdf["bloom_bits"]:
-            bits |= np.frombuffer(blob, dtype=np.uint64)
         h = cand_pdf["url_hash"].to_numpy(dtype=np.int64).view(np.uint64)
-        rows, pos = _positions(h, cfg)
-        hit = bits[(pos // _WORD_BITS).astype(np.int64)] >> (pos % _WORD_BITS) & np.uint64(1)
-        out["_maybe_seen"] = hit.reshape(-1, cfg.n_hashes).all(axis=1)
+        maybe = np.zeros(len(h), dtype=bool)
+        bits = None
+        for tier, blob in zip(shard_pdf["tier"], shard_pdf["bloom_bits"]):
+            if tier == "cuckoo":
+                maybe |= _ck_lookup(_ck_deserialize(bytes(blob)), h)
+            else:
+                if bits is None:
+                    bits = np.zeros(cfg.bits_per_shard // _WORD_BITS, dtype=np.uint64)
+                bits |= np.frombuffer(blob, dtype=np.uint64)
+        if bits is not None:
+            rows, pos = _positions(h, cfg)
+            hit = bits[(pos // _WORD_BITS).astype(np.int64)] >> (pos % _WORD_BITS) & np.uint64(1)
+            maybe |= hit.reshape(-1, cfg.n_hashes).all(axis=1)
+        out["_maybe_seen"] = maybe
         return out
 
     return (
@@ -255,12 +403,17 @@ def _probe_broadcast(
         for r in shard_rows
         if r["tier"] == "bloom"
     }
+    cuckoos = {
+        r["shard"]: _ck_deserialize(bytes(r["bloom_bits"]))
+        for r in shard_rows
+        if r["tier"] == "cuckoo"
+    }
     exact_shards = {r["shard"] for r in shard_rows if r["tier"] == "exact"}
-    bc = spark.sparkContext.broadcast((filters, exact_shards, cfg))
+    bc = spark.sparkContext.broadcast((filters, cuckoos, exact_shards, cfg))
 
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(url_hash: pd.Series) -> pd.Series:
-        flt, exact, c = bc.value
+        flt, ck, exact, c = bc.value
         h_signed = url_hash.to_numpy(dtype=np.int64)
         h = h_signed.view(np.uint64)
         # match Spark's pmod on signed int64 (numpy mod is sign-of-divisor)
@@ -269,7 +422,11 @@ def _probe_broadcast(
         for s in np.unique(shard_of):
             mask = shard_of == s
             if int(s) in exact:
-                continue  # spill tier: must take the exact join
+                continue  # degraded tier: must take the exact join
+            table = ck.get(int(s))
+            if table is not None:
+                out[mask] = _ck_lookup(table, h[mask])
+                continue
             bits = flt.get(int(s))
             if bits is None:
                 out[mask] = False  # shard empty -> definitely new

@@ -29,14 +29,16 @@ def test_bloom_matches_exact(spark):
     assert len(exact) == 400  # 500..899
 
 
-def test_bloom_spill_tier(spark):
-    # tiny filter forces fill > max_fill -> 'exact' tier -> still correct
+def test_bloom_spill_tier_is_cuckoo(spark):
+    # tiny bloom forces fill > max_fill at BUILD time -> the shard
+    # spills to a REAL cuckoo filter (not a give-up 'exact' marker) and
+    # stays correct
     cfg = BloomConfig(n_shards=2, bits_per_shard=256, n_hashes=4, max_fill=0.3)
     seen = _hashed(spark, [f"https://x.com/{i}" for i in range(300)])
     cand = _hashed(spark, [f"https://x.com/{i}" for i in range(200, 400)])
     shards = build_seen_shards(seen, cfg)
     tiers = {r["tier"] for r in shards.collect()}
-    assert "exact" in tiers
+    assert "cuckoo" in tiers and "exact" not in tiers
     got = sorted(r["url"] for r in filter_unseen(cand, seen, shards, cfg).collect())
     assert got == sorted(f"https://x.com/{i}" for i in range(300, 400))
 
@@ -104,3 +106,60 @@ def test_sized_for_stays_under_max_fill(spark):
     # and the auto probe picks cogroup once the filter outgrows broadcast
     big = BloomConfig.sized_for(10**9)  # ~1.5 GB of shards
     assert big.total_bytes > big.broadcast_max_bytes
+
+
+def test_cuckoo_unit_no_false_negatives_bounded_fp():
+    """Partial-key cuckoo filter core: every inserted key is found (no
+    false negatives — the property the seen-set's correctness leans on),
+    and the false-positive rate on disjoint probes stays near the
+    2 * slots * 2^-16 theoretical bound."""
+    import numpy as np
+
+    from borges_spark.operators.seen import _ck_empty, _ck_insert_many, _ck_lookup
+
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 2**63, size=10_000, dtype=np.int64).astype(np.uint64)
+    probes = rng.randint(0, 2**63, size=20_000, dtype=np.int64).astype(np.uint64)
+    probes = np.setdiff1d(probes, keys)
+    table = _ck_insert_many(_ck_empty(len(keys)), keys)
+    assert table is not None
+    assert bool(_ck_lookup(table, keys).all())  # no false negatives
+    fp_rate = float(_ck_lookup(table, probes).mean())
+    assert fp_rate < 0.005, fp_rate  # theory ~0.00012; huge margin
+
+
+def test_cuckoo_shard_accepts_incremental_merges(spark):
+    """A spilled (cuckoo) shard keeps absorbing later rounds' hashes —
+    the insertable-spill property the 'exact' marker lacked — and the
+    merged filter still agrees with the exact anti-join."""
+    from borges_spark.operators.seen import merge_seen_shards
+
+    cfg = BloomConfig(n_shards=2, bits_per_shard=256, n_hashes=4, max_fill=0.3)
+    first = _hashed(spark, [f"https://x.com/{i}" for i in range(300)])
+    second = _hashed(spark, [f"https://x.com/{i}" for i in range(300, 380)])
+    merged = merge_seen_shards(build_seen_shards(first, cfg), second, cfg)
+    assert {r["tier"] for r in merged.collect()} == {"cuckoo"}
+    seen = _hashed(spark, [f"https://x.com/{i}" for i in range(380)])
+    cand = _hashed(spark, [f"https://x.com/{i}" for i in range(250, 500)])
+    got = sorted(r["url"] for r in filter_unseen(cand, seen, merged, cfg).collect())
+    assert got == sorted(f"https://x.com/{i}" for i in range(380, 500))
+
+
+def test_cuckoo_overflow_degrades_to_exact(spark):
+    """A cuckoo table cannot resize without the original keys, so an
+    eviction overflow degrades the shard to the exact tier instead of
+    ever risking a false negative."""
+    from borges_spark.operators.seen import merge_seen_shards
+
+    cfg = BloomConfig(n_shards=1, bits_per_shard=256, n_hashes=4, max_fill=0.3)
+    small = _hashed(spark, [f"https://x.com/{i}" for i in range(120)])  # cuckoo sized ~120
+    flood = _hashed(spark, [f"https://y.com/{i}" for i in range(5000)])
+    merged = merge_seen_shards(build_seen_shards(small, cfg), flood, cfg)
+    assert {r["tier"] for r in merged.collect()} == {"exact"}
+    seen = _hashed(
+        spark,
+        [f"https://x.com/{i}" for i in range(120)] + [f"https://y.com/{i}" for i in range(5000)],
+    )
+    cand = _hashed(spark, [f"https://x.com/{i}" for i in range(100, 140)])
+    got = sorted(r["url"] for r in filter_unseen(cand, seen, merged, cfg).collect())
+    assert got == sorted(f"https://x.com/{i}" for i in range(120, 140))
