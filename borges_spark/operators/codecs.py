@@ -40,6 +40,10 @@ def sniff(payload: bytes) -> str | None:
         return "wav"
     if payload.startswith(b"YUV4MPEG2"):
         return "y4m"
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
     return None
 
 
@@ -204,7 +208,297 @@ def encode_y4m(frames: list[np.ndarray]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# transforms over decoded arrays
+# PNG — stdlib zlib inflate + per-row unfilter; no codec library needed
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette, RGBA
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 RGB from an 8-bit non-interlaced PNG (gray / RGB /
+    palette / RGBA). Chunk walk -> concatenated-IDAT zlib inflate ->
+    per-row unfilter. Filters None/Sub/Up are vectorized (Sub is a
+    per-byte-lane cumsum mod 256); Average/Paeth carry a true left-pixel
+    dependency, so those rows run a per-PIXEL loop of small vector ops —
+    still bounded by row width, and encoders we meet in fixtures emit
+    filter 0/1/2."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    import zlib
+
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    bpp = _PNG_CHANNELS[color_type]
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * bpp
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    raw = raw[: h * (stride + 1)].reshape(h, stride + 1)
+    filters, rows = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f, row = int(filters[y]), rows[y].astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: cumsum over pixels, per byte lane
+            rec = np.cumsum(row.reshape(w, bpp), axis=0).reshape(-1) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: left-pixel dependency
+            rec = np.zeros(stride, dtype=np.int64)
+            up = prev.reshape(w, bpp)
+            rw = row.reshape(w, bpp)
+            rc = rec.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int64)
+            upleft = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                if f == 3:
+                    rc[x] = (rw[x] + (left + up[x]) // 2) % 256
+                else:
+                    p = left + up[x] - upleft
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], upleft)
+                    )
+                    rc[x] = (rw[x] + pred) % 256
+                left, upleft = rc[x].astype(np.int64), up[x].astype(np.int64)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec.astype(np.int64)
+    img = out.reshape(h, w, bpp)
+    if color_type == 0:
+        return np.repeat(img, 3, axis=2).copy()
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return plte[img[..., 0]].copy()
+    return img[..., :3].copy()  # RGB / RGBA (alpha dropped)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """PNG encoder over (H, W, 3) uint8 RGB (test fixture generator).
+    filter_type 0 (None) or 2 (Up) — both exactly invertible here."""
+    import zlib
+
+    h, w, _ = img.shape
+    rows = img.reshape(h, w * 3).astype(np.int64)
+    if filter_type == 0:
+        filtered = rows
+    elif filter_type == 2:
+        prev = np.vstack([np.zeros((1, w * 3), dtype=np.int64), rows[:-1]])
+        filtered = (rows - prev) % 256
+    else:
+        raise ValueError("fixture encoder supports filter 0/2 only")
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), filtered.astype(np.uint8)], axis=1
+    ).tobytes()
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GIF — LZW (the 1984 Welch variant GIF specifies) + palette mapping
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """Decode a GIF LZW code stream into palette indices. The dictionary
+    rebuild is inherently sequential (each code's expansion depends on
+    the previous code's), so this is a per-CODE Python loop — bounded by
+    compressed size, and each code appends a whole run of pixels."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    width = min_code_size + 1
+    # dictionary as (prefix_code, first_byte, suffix_byte) tables
+    prefix = np.full(4096, -1, dtype=np.int32)
+    suffix = np.zeros(4096, dtype=np.uint8)
+    for i in range(clear):
+        suffix[i] = i
+    next_code = eoi + 1
+    out = np.zeros(n_pixels, dtype=np.uint8)
+    n_out = 0
+    acc = bits = 0
+    prev_code = -1
+    buf = np.frombuffer(data, dtype=np.uint8)
+    expand = bytearray(4096)
+    for byte in buf:
+        acc |= int(byte) << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                next_code, width, prev_code = eoi + 1, min_code_size + 1, -1
+                continue
+            if code == eoi:
+                return out[:n_out]
+            if prev_code < 0:
+                out[n_out] = suffix[code]
+                n_out += 1
+                prev_code = code
+                continue
+            # expand `code` (or prev+firstbyte for the not-yet-defined code)
+            c = code if code < next_code else prev_code
+            n = 0
+            while c >= clear + 2:
+                expand[n] = suffix[c]
+                n += 1
+                c = prefix[c]
+            expand[n] = suffix[c]
+            n += 1
+            first = expand[n - 1]
+            run = bytes(expand[:n][::-1]) + (bytes([first]) if code >= next_code else b"")
+            take = min(len(run), n_pixels - n_out)
+            out[n_out : n_out + take] = np.frombuffer(run[:take], dtype=np.uint8)
+            n_out += take
+            if next_code < 4096:
+                prefix[next_code] = prev_code
+                suffix[next_code] = first
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev_code = code
+            if n_out >= n_pixels:
+                return out
+    return out[:n_out]
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 RGB of the FIRST frame of a GIF87a/89a stream:
+    logical-screen + color-table parse, extension-block skip, LZW
+    decode, interlace undo, palette mapping."""
+    if not payload.startswith((b"GIF87a", b"GIF89a")):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        intro = payload[pos]
+        if intro == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif intro == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    payload, dtype=np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                size = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+            if len(idx) < w * h:
+                raise ValueError("truncated GIF pixel data")
+            grid = idx.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)
+                ]
+                undone = np.zeros_like(grid)
+                undone[np.array(order)] = grid
+                grid = undone
+            return palette[grid].copy()
+        elif intro == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"corrupt GIF block 0x{intro:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def encode_gif(img_indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF89a encoder (test fixture generator): one frame of palette
+    indices + an (N, 3) palette. Emits literal LZW codes, mirroring the
+    decoder's dictionary growth for code-width bookkeeping and clearing
+    at 4096 — valid output any GIF reader accepts."""
+    h, w = img_indices.shape
+    n_colors = len(palette)
+    ct_bits = max(2, int(np.ceil(np.log2(max(n_colors, 2)))))
+    ct_size = 1 << ct_bits
+    pal = np.zeros((ct_size, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    mcs = ct_bits
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    codes: list[tuple[int, int]] = [(clear, mcs + 1)]  # (code, width-at-emit)
+    width, next_code, since_clear = mcs + 1, eoi + 1, 0
+    for v in img_indices.reshape(-1):
+        codes.append((int(v), width))
+        if since_clear > 0:  # decoder defines a new entry per code after the 1st
+            next_code += 1
+            if next_code == (1 << width):
+                if width < 12:
+                    width += 1
+                else:
+                    codes.append((clear, width))
+                    width, next_code, since_clear = mcs + 1, eoi + 1, 0
+                    continue
+        since_clear += 1
+    codes.append((eoi, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, cw in codes:
+        acc |= code << bits
+        bits += cw
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([len(out[i : i + 255])]) + bytes(out[i : i + 255])
+        for i in range(0, len(out), 255)
+    )
+    header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    return header + pal.tobytes() + desc + bytes([mcs]) + blocks + b"\x00\x3b"
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via pure index math (the vectorized

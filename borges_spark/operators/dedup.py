@@ -304,6 +304,7 @@ def duplicate_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     )
     prev_sig = None
     iters = 0
+    converged = False
     for _ in range(max_iters):
         iters += 1
         # large-star: every node u links its LARGER neighbors to the min
@@ -337,8 +338,24 @@ def duplicate_groups(ids: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         sig = (row["c"], row["h"])
         e = new_e
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # at a non-fixed-point the min-outgoing-edge roots derivation
+        # below can split one component across inconsistent group ids —
+        # silent wrong answers; log-round convergence makes max_iters=25
+        # astronomically generous, so hitting this means a pathological
+        # input (or a bug), not normal operation
+        import warnings
+
+        warnings.warn(
+            f"duplicate_groups: star iteration did NOT converge within "
+            f"max_iters={max_iters}; group ids may be inconsistent within "
+            f"a component. Re-run with a larger max_iters.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if iters_out is not None:
         iters_out.append(iters)
     # converged state is a disjoint union of stars: each non-root points

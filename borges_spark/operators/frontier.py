@@ -80,16 +80,31 @@ def add_sequence_with_total(
     return sorted_df.mapInPandas(assign, out_schema), total
 
 
-def _monotone_bucket(group_col: str, dtype) -> F.Column:
-    """A bucket id that is a MONOTONE non-decreasing function of the
-    group key in its ASC sort order — the property that lets a global
-    cumsum decompose into (per-bucket cumsum) + (cumsum over bucket
-    totals) without changing any assigned number. Strings bucket by an
-    8-char prefix (lexicographic order preserved); non-negative numerics
-    by floor(g / 4096)."""
-    if dtype.simpleString() == "string":
-        return F.substring(F.col(group_col), 1, 8)
-    return F.floor(F.col(group_col) / F.lit(4096))
+def _bucketed_counts(counts: DataFrame, group_col: str, dtype) -> DataFrame:
+    """Attach a `_gb` bucket id that is a MONOTONE non-decreasing
+    function of the group key in its ASC sort order — the property that
+    lets a global cumsum decompose into (per-bucket cumsum) + (cumsum
+    over bucket totals) without changing any assigned number.
+
+    Non-negative numeric keys bucket by floor(g / 4096) (value-derived,
+    job-free). String keys derive boundaries FROM THE DATA: the counts
+    frame range-partitions on the key (Spark's range partitioner samples
+    the actual keys), and `_gb` is the resulting partition id — ordered
+    across partitions by construction, and ~balanced REGARDLESS of the
+    key distribution. A key-slice bucket (e.g. an 8-char prefix, the
+    round-3 implementation) collapses to ONE fat bucket when every host
+    shares a long prefix (`shard-00001.bigsite.com`, ...), re-creating
+    exactly the unbounded single-task cumsum this decomposition exists
+    to kill. The decomposed offsets are IDENTICAL for any monotone
+    bucketing, so sampled (even nondeterministic) boundaries never
+    change an assigned sequence number — determinism of the output
+    needs no determinism of the boundaries."""
+    if dtype.simpleString() != "string":
+        return counts.withColumn("_gb", F.floor(F.col(group_col) / F.lit(4096)))
+    n_ranges = max(counts.sparkSession.sparkContext.defaultParallelism, 2)
+    return counts.repartitionByRange(n_ranges, F.col(group_col).asc()).withColumn(
+        "_gb", F.spark_partition_id().cast("long")
+    )
 
 
 def add_group_sequence(
@@ -141,8 +156,7 @@ def add_group_sequence(
     else:
         rank = existing_rank_col
     counts = df.groupBy(group_col).agg(F.count("*").alias("_gcnt"))
-    bucket = _monotone_bucket(group_col, df.schema[group_col].dataType)
-    counts = counts.withColumn("_gb", bucket)
+    counts = _bucketed_counts(counts, group_col, df.schema[group_col].dataType)
     w_in = (
         Window.partitionBy("_gb")
         .orderBy(F.col(group_col).asc())

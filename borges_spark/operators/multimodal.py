@@ -76,10 +76,11 @@ def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Image features. BMP/PPM payloads decode for real (pure-numpy
-    header+plane parsers, nearest-neighbor resize, grid-luma features);
-    codec-bound formats fall back to the deterministic byte-moment
-    vector so the pipeline shape stays exercised without PIL."""
+    """Image features. BMP/PPM/PNG/GIF payloads decode for real
+    (pure-numpy header+plane parsers, stdlib zlib inflate + unfilter for
+    PNG, LZW for GIF, nearest-neighbor resize, grid-luma features);
+    codec-bound formats (JPEG/WebP/...) fall back to the deterministic
+    byte-moment vector so the pipeline shape stays exercised without PIL."""
     if not payload:
         raise NotImplementedError("image decode requires a payload")
     from borges_spark.operators import codecs
@@ -89,7 +90,11 @@ def _decode_image(payload: bytes) -> list[float]:
         return codecs.image_features(codecs.decode_bmp(payload))
     if fmt == "ppm":
         return codecs.image_features(codecs.decode_ppm(payload))
-    b = memoryview(payload)  # codec-bound fallback (JPEG/PNG/...)
+    if fmt == "png":
+        return codecs.image_features(codecs.decode_png(payload))
+    if fmt == "gif":
+        return codecs.image_features(codecs.decode_gif(payload))
+    b = memoryview(payload)  # codec-bound fallback (JPEG/WebP/...)
     n = len(b)
     mean = sum(b) / n
     return [float(n % 251), float(mean), float(b[0]), float(b[-1])]

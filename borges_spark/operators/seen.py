@@ -17,12 +17,14 @@ paper_index.py:142-143) plus Scrapy's request dupefilter
 Spill tier: a shard whose Bloom fill ratio would exceed `max_fill` at
 BUILD time spills to a real CUCKOO FILTER (partial-key cuckoo hashing:
 16-bit fingerprints, 4-slot buckets, two candidate buckets i1 and
-i1 XOR H(fp), bounded eviction with doubling growth) — membership stays
+i1 XOR H(fp), bounded eviction) — membership stays
 exact-no-false-negative and insertable, so later rounds keep folding
 hashes in, and false-positive rates stay bounded on hot shards without
-abandoning the filter. A Bloom shard that only overfills LATER (merge
-time) degrades to the 'exact' tier (its keys are no longer recoverable
-from the bits), which always routes through the exact join.
+abandoning the filter. A partial-key filter cannot RESIZE (fingerprints
+don't retain i1's high bits), so an eviction overflow — like a Bloom
+shard that only overfills LATER (merge time) — degrades the shard to
+the 'exact' tier, which always routes through the exact join: no false
+negative is ever possible.
 """
 
 from __future__ import annotations
@@ -100,9 +102,18 @@ _CK_FP_MULT = 0x5BD1E995  # Murmur-ish odd multiplier for H(fp)
 
 
 def _ck_fp_i1(h: np.ndarray, n_buckets: int):
-    fp = ((h.astype(np.uint64) >> np.uint64(45)) & np.uint64(0xFFFF)).astype(np.uint16)
+    h = h.astype(np.uint64)
+    fp = ((h >> np.uint64(45)) & np.uint64(0xFFFF)).astype(np.uint16)
     fp = np.where(fp == 0, np.uint16(1), fp)
-    i1 = (h.astype(np.uint64) & np.uint64(n_buckets - 1)).astype(np.int64)
+    # i1 must NOT reuse the raw low bits: shard routing is
+    # pmod(url_hash, n_shards), so within one shard every hash agrees on
+    # its low log2(n_shards) bits and a plain `h & (n_buckets-1)` would
+    # reach only 1/n_shards of the buckets (insertion degrades to
+    # single-choice and hot shards overflow to 'exact' exactly where the
+    # spill tier matters). Remix with the golden-ratio multiplier and
+    # take HIGH product bits — disjoint from any shard-count residue.
+    mix = h * np.uint64(0x9E3779B97F4A7C15)
+    i1 = ((mix >> np.uint64(32)) & np.uint64(n_buckets - 1)).astype(np.int64)
     return fp, i1
 
 
@@ -116,34 +127,84 @@ def _ck_empty(n_keys: int) -> np.ndarray:
     return np.zeros((n_buckets, _CK_SLOTS), dtype=np.uint16)
 
 
+def _group_ranks(buckets: np.ndarray) -> np.ndarray:
+    """rank of each element within its equal-value group, preserving
+    input order (stable) — vectorized, no per-key loop."""
+    order = np.argsort(buckets, kind="stable")
+    bs = buckets[order]
+    is_start = np.empty(len(bs), dtype=bool)
+    if len(bs):
+        is_start[0] = True
+        is_start[1:] = bs[1:] != bs[:-1]
+    starts = np.flatnonzero(is_start)
+    run_lens = np.diff(np.append(starts, len(bs)))
+    rank_sorted = np.arange(len(bs), dtype=np.int64) - np.repeat(starts, run_lens)
+    ranks = np.empty(len(bs), dtype=np.int64)
+    ranks[order] = rank_sorted
+    return ranks
+
+
 def _ck_insert_many(table: np.ndarray, hashes: np.ndarray) -> np.ndarray | None:
-    """Insert (sorted for a deterministic layout); returns the table, or
-    None when an eviction chain exhausts _CK_MAX_KICKS — a partial-key
-    cuckoo filter cannot RESIZE without the original keys (only
-    fingerprints are stored; i1's high bits are unrecoverable), so the
-    caller degrades the shard to the 'exact' tier instead of risking a
-    false negative. Per-key python loop — runs executor-side on ONE
-    shard's keys, and spill shards are the sized-for exception, not the
-    steady state."""
+    """Bulk insert; returns the table, or None when an eviction chain
+    exhausts _CK_MAX_KICKS — a partial-key cuckoo filter cannot RESIZE
+    without the original keys (only fingerprints are stored; i1's high
+    bits are unrecoverable), so the caller degrades the shard to the
+    'exact' tier instead of risking a false negative.
+
+    The common case is fully vectorized: one membership lookup drops
+    already-present keys, a (fp, canonical-bucket) dedup drops
+    indistinguishable twins (two keys with equal fp sharing a candidate
+    bucket have the SAME candidate pair — i2 = i1 ^ H(fp) — so the pair
+    is canonical), then two scatter passes place keys whose i1 / i2
+    bucket has free slots, with per-bucket ranks resolving intra-batch
+    collisions. Only keys still homeless after both passes (~the load
+    tail) walk the per-key eviction chain. Deterministic: sorted-unique
+    key order + a seeded LCG walk — a pure function of the key set."""
     n_buckets = table.shape[0]
+    hs = np.unique(hashes.astype(np.uint64))  # sorted unique
+    if len(hs) == 0:
+        return table
+    fp, b1 = _ck_fp_i1(hs, n_buckets)
+    b2 = _ck_alt(b1, fp, n_buckets)
+    # drop keys already present (or fp-twins of present entries)
+    present = (table[b1] == fp[:, None]).any(axis=1) | (table[b2] == fp[:, None]).any(axis=1)
+    keep = ~present
+    # intra-batch twin dedup on (fp, min(b1,b2)): equal-fp keys sharing
+    # any candidate bucket share BOTH, so the canonical pair is exact
+    pair_key = (np.minimum(b1, b2).astype(np.uint64) << np.uint64(16)) | fp.astype(np.uint64)
+    _, first_idx = np.unique(pair_key, return_index=True)
+    first_mask = np.zeros(len(hs), dtype=bool)
+    first_mask[first_idx] = True
+    keep &= first_mask
+    fp, b1, b2 = fp[keep], b1[keep], b2[keep]
+
+    used = (table != 0).sum(axis=1).astype(np.int64)
+    pending = np.ones(len(fp), dtype=bool)
+    for cand in (b1, b2):
+        if not pending.any():
+            break
+        idx = np.flatnonzero(pending)
+        c = cand[idx]
+        slots = used[c] + _group_ranks(c)
+        ok = slots < _CK_SLOTS
+        table[c[ok], slots[ok]] = fp[idx[ok]]
+        np.add.at(used, c[ok], 1)
+        pending[idx[ok]] = False
+
+    # eviction chains for the homeless tail (rare below ~0.75 load)
     rng_state = 0x9E3779B9
-    for h in np.sort(hashes.astype(np.uint64)):
-        fp_a, i1_a = _ck_fp_i1(np.array([h], dtype=np.uint64), n_buckets)
-        fp, i1 = int(fp_a[0]), int(i1_a[0])
-        i2 = i1 ^ ((fp * _CK_FP_MULT) & (n_buckets - 1))
-        if fp in table[i1] or fp in table[i2]:
-            continue  # already present (or indistinguishable twin)
+    for j in np.flatnonzero(pending):
+        i1, i2, f = int(b1[j]), int(b2[j]), int(fp[j])
         placed = False
         for b in (i1, i2):
             empty = np.where(table[b] == 0)[0]
             if len(empty):
-                table[b, empty[0]] = fp
+                table[b, empty[0]] = f
                 placed = True
                 break
         if placed:
             continue
-        # evict: deterministic pseudo-random walk
-        cur_b, cur_fp, ok = i1, fp, False
+        cur_b, cur_fp, ok = i1, f, False
         for _ in range(_CK_MAX_KICKS):
             rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
             slot = rng_state % _CK_SLOTS
@@ -243,7 +304,15 @@ def merge_seen_shards(
     bloom's keys are unrecoverable; cuckoo->exact only on eviction
     overflow). Cost is O(additions + n_shards), not O(total seen set) —
     the property that keeps per-round work constant as the frontier
-    grows to 10^10."""
+    grows to 10^10.
+
+    PRECONDITION: `additions` must contain only hashes NOT already in
+    the filter (the engine feeds exactly the round's new_rows, which are
+    post-anti-join). The per-shard n_urls counter is old + len(added);
+    feeding already-seen hashes would overcount it (the filter bits
+    themselves stay correct — bloom OR and cuckoo twin-skip are
+    idempotent — but the batch-vs-incremental n_urls equality that
+    test_incremental_merge_matches_batch pins would break)."""
     if old is None:
         return build_seen_shards(additions, cfg)
     keyed = additions.select(

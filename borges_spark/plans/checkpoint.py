@@ -87,6 +87,12 @@ class SnapshotStore:
             "datasets": sorted(dataset_names),
             "counts": {},
             "committed_at": time.time(),
+            # recorded so a resume in a fresh session re-registers the
+            # bucketed frontier with the bucket count the files were
+            # WRITTEN with — a store constructed with a different
+            # frontier_buckets would otherwise declare a wrong layout
+            # that Spark trusts for shuffle elision (silently wrong joins)
+            "frontier_buckets": self.frontier_buckets,
             "meta": meta or {},
         }
         with open(os.path.join(rdir, "manifest.json"), "w") as f:
@@ -157,14 +163,24 @@ class SnapshotStore:
             if not spark.catalog.tableExists(tbl):
                 # resume in a fresh session: re-register the external
                 # bucketed table over the committed files (bucket ids
-                # ride in the file names, so the layout survives)
+                # ride in the file names, so the layout survives). The
+                # bucket count comes from the round MANIFEST — the count
+                # the files were written with — never from the current
+                # store config, which may legitimately differ.
+                buckets = self.frontier_buckets
+                try:
+                    recorded = self.manifest(round_no).get("frontier_buckets")
+                    if recorded:
+                        buckets = int(recorded)
+                except (OSError, ValueError, json.JSONDecodeError):
+                    pass  # pre-manifest-field snapshot: trust the config
                 schema = spark.read.parquet(path).schema
                 ddl = ", ".join(
                     f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
                 )
                 spark.sql(
                     f"CREATE TABLE {tbl} ({ddl}) USING PARQUET "
-                    f"CLUSTERED BY (url_hash) INTO {self.frontier_buckets} BUCKETS "
+                    f"CLUSTERED BY (url_hash) INTO {buckets} BUCKETS "
                     f"LOCATION '{path}'"
                 )
             return spark.table(tbl)

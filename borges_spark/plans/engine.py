@@ -247,14 +247,17 @@ class CrawlEngine:
         )
         # duplicate seed URLs: keep the lowest seq (deterministic — the
         # simulator keeps the first in seed order; dropDuplicates would
-        # keep an arbitrary row)
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("url_hash").orderBy(F.col("discovered_seq").asc())
+        # keep an arbitrary row). min-of-struct with discovered_seq
+        # leading is a MAP-SIDE-COMBINABLE aggregate: one partial-agg
+        # shuffle, no per-group sort — the row_number window this
+        # replaces shuffled AND sorted the full seed set (measured ~2s
+        # of round-0 load at 1M seeds)
+        other = [c for c in rows.columns if c not in ("url_hash", "discovered_seq")]
         return (
-            rows.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            rows.groupBy("url_hash")
+            .agg(F.min(F.struct("discovered_seq", *other)).alias("_s"))
+            .select("url_hash", "_s.discovered_seq", *[f"_s.{c}" for c in other])
+            .select(*rows.columns)
         )
 
     # -- one round ---------------------------------------------------------
@@ -535,10 +538,12 @@ class CrawlEngine:
             F.lit(0).alias("stage"),  # discoveries always enter at tier 0
         ).persist()  # consumed by the frontier merge, metrics, and the shard build
         caches.append(new_rows)
+        _t0 = _t.time()
         n_new = new_rows.count()  # materialize ONCE — the three consumers
         # run as concurrent snapshot writes, and concurrent cache misses
         # would each recompute the plan instead of sharing it. The count
         # doubles as the discovery total (need_total=False above).
+        self.phase_times["count_new_s"] = round(_t.time() - _t0, 2)
 
         # -- frontier state transitions -----------------------------------
         # THE frontier-side scale rule: a politeness-bounded round's merge
@@ -752,7 +757,11 @@ class CrawlEngine:
         extra_rounds: int | None = None,
     ) -> dict:
         store, spark = self.store, self.spark
+        import time as _time
+
+        _t_load = _time.time()
         frontier, shards, start_round, next_seq = self._load_state(resume)
+        load_s = round(_time.time() - _t_load, 2)
         limit = self.cfg.max_rounds if extra_rounds is None else start_round + extra_rounds
         if seed_batch is not None:
             if start_round == 0:
@@ -777,7 +786,6 @@ class CrawlEngine:
 
         rounds_run = 0
         round_stats: list[dict] = []
-        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         # Deferred-commit pipeline: each round writes frontier (+ seen
@@ -869,6 +877,7 @@ class CrawlEngine:
             # every frontier row was assigned a discovered_seq exactly
             # once, so size == next_seq — no closing full-table scan
             "frontier_size": next_seq,
+            "load_s": load_s,
             "round_stats": round_stats,
         }
 

@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", str(128 * 1024))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(4 * 1024 * 1024))
+        # FileOutputCommitter v1 renames every task file SERIALLY on the
+        # driver at commitJob — pure driver-side latency on each of the
+        # engine's four per-round snapshot writes. v2 renames in the
+        # tasks (parallel); its weaker job-abort guarantee is irrelevant
+        # here because the snapshot store's own LATEST-pointer protocol
+        # already treats any uncommitted round directory as garbage
+        # (checkpoint.py gc_uncommitted), same as an Iceberg commit.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     if extra_conf:
         for k, v in extra_conf.items():

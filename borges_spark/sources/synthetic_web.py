@@ -54,9 +54,15 @@ def _mix(i: Column, a: int, c: int) -> Column:
 
 
 def _host_id(i: Column, cfg: WebConfig) -> Column:
+    # xxhash64, not a multiplicative mix: an LCG-style `(i*A + C) % n`
+    # silently collapses the host universe whenever gcd(A mod n, n) > 1
+    # (the round-3 constants hit gcd 21 at the bench's n_hosts=400,
+    # yielding only 20 REAL hosts — politeness budgets then capped every
+    # bench round and the selection window ran 20 fat sort tasks). A
+    # real hash has no common-factor structure with any n_hosts.
     hot_cut = int(cfg.n_pages * cfg.hot_frac)
     return F.when(i < hot_cut, F.lit(0)).otherwise(
-        1 + F.pmod(_mix(i, 1103515245, 12345), F.lit(cfg.n_hosts - 1))
+        1 + F.pmod(F.xxhash64(i), F.lit(cfg.n_hosts - 1))
     )
 
 

@@ -57,6 +57,114 @@ def test_y4m_frame_sampling():
     assert feats[3:] == [10.0, 30.0, 50.0]
 
 
+def test_png_roundtrip_filters_0_and_2():
+    img = _test_image(6, 5)
+    for ft in (0, 2):
+        blob = C.encode_png(img, filter_type=ft)
+        assert C.sniff(blob) == "png"
+        assert np.array_equal(C.decode_png(blob), img)
+
+
+def test_png_all_filter_types_and_color_types():
+    """Hand-build scanlines exercising every PNG filter (None/Sub/Up/
+    Average/Paeth) and the gray/palette/RGBA color types, checked
+    against an independent scalar reference reconstruction."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(5)
+    w, h = 7, 5
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    # reference scalar filterer (spec text, not the decoder's code)
+    def filt_row(ft, cur, prev):
+        out = [ft]
+        for x in range(w * 3):
+            raw = int(cur[x])
+            left = int(cur[x - 3]) if x >= 3 else 0
+            up = int(prev[x])
+            ul = int(prev[x - 3]) if x >= 3 else 0
+            if ft == 0:
+                out.append(raw % 256)
+            elif ft == 1:
+                out.append((raw - left) % 256)
+            elif ft == 2:
+                out.append((raw - up) % 256)
+            elif ft == 3:
+                out.append((raw - (left + up) // 2) % 256)
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                out.append((raw - pred) % 256)
+        return bytes(out)
+
+    rows = img.reshape(h, w * 3)
+    zero = np.zeros(w * 3, dtype=np.uint8)
+    scan = b"".join(
+        filt_row(ft, rows[y], rows[y - 1] if y else zero)
+        for y, ft in enumerate([0, 1, 2, 3, 4])
+    )
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(blob), img)
+
+    # grayscale (type 0) and palette (type 3)
+    gray = rng.randint(0, 256, size=(3, 4), dtype=np.uint8)
+    gscan = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    gblob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(gscan))
+        + chunk(b"IEND", b"")
+    )
+    out = C.decode_png(gblob)
+    assert np.array_equal(out, np.repeat(gray[..., None], 3, axis=2))
+
+    plte = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)
+    pidx = rng.randint(0, 4, size=(3, 4), dtype=np.uint8)
+    pscan = b"".join(b"\x00" + pidx[y].tobytes() for y in range(3))
+    pblob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte.tobytes())
+        + chunk(b"IDAT", zlib.compress(pscan))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(C.decode_png(pblob), plte[pidx])
+
+
+def test_gif_roundtrip_and_lzw_growth():
+    """Palette roundtrip through the real LZW coder — enough pixels that
+    the decoder's code width grows past its initial size."""
+    rng = np.random.RandomState(9)
+    palette = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = rng.randint(0, 4, size=(40, 50), dtype=np.uint8)  # 2000 px -> width growth
+    blob = C.encode_gif(idx, palette)
+    assert C.sniff(blob) == "gif"
+    out = C.decode_gif(blob)
+    assert out.shape == (40, 50, 3)
+    assert np.array_equal(out, palette[idx])
+
+
+def test_gif_large_stream_hits_dictionary_clear():
+    """>4094 codes forces the encoder's CLEAR-and-reset path and the
+    decoder's dictionary rebuild."""
+    palette = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3) % 256
+    idx = (np.arange(90 * 80, dtype=np.int64) % 256).astype(np.uint8).reshape(90, 80)
+    blob = C.encode_gif(idx, palette)
+    assert np.array_equal(C.decode_gif(blob), palette[idx])
+
+
 def test_resize_nearest():
     img = _test_image(8, 8)
     small = C.resize_nearest(img, 4, 2)

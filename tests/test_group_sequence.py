@@ -5,7 +5,7 @@ scale shape (VERDICT r2 item 7)."""
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from borges_spark.operators.frontier import _monotone_bucket, add_group_sequence
+from borges_spark.operators.frontier import _bucketed_counts, add_group_sequence
 
 
 def _flat_reference(df, group_col, order_within, col_name, start):
@@ -46,22 +46,52 @@ def test_offsets_cumsum_decomposes_over_buckets(spark):
     """Scale shape: the per-group counts cumsum must spread over many
     monotone key buckets — no single task ever sorts all n_groups rows
     (at 10^8 hosts/round the flat window was one fat task)."""
-    hosts = spark.range(100_000).select(
-        F.concat(F.lit("host-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("g")
+    counts = spark.range(100_000).select(
+        F.concat(F.lit("host-"), F.lpad(F.col("id").cast("string"), 6, "0")).alias("g"),
+        F.lit(1).alias("_gcnt"),
     )
-    buckets = hosts.select(_monotone_bucket("g", hosts.schema["g"].dataType).alias("b"))
-    n_buckets = buckets.distinct().count()
-    assert n_buckets >= 100, n_buckets  # 100k hosts -> >=100 cumsum tasks
+    bucketed = _bucketed_counts(counts, "g", counts.schema["g"].dataType)
+    n_buckets = bucketed.select("_gb").distinct().count()
+    # 100k hosts -> one cumsum task per core, never one fat task
+    assert n_buckets >= max(spark.sparkContext.defaultParallelism, 2), n_buckets
     # and the bucket is monotone in the group's sort order (the property
     # that makes the decomposition exact)
-    rows = (
-        buckets.withColumn("g", F.col("b"))
-        .orderBy("g")
-        .select("b")
-        .collect()
-    )
-    vals = [r["b"] for r in rows]
+    rows = bucketed.orderBy("g").select("_gb").collect()
+    vals = [r["_gb"] for r in rows]
     assert vals == sorted(vals)
+
+
+def test_offsets_split_under_shared_host_prefix(spark):
+    """VERDICT r3 'what's wrong #1': 10^5 hosts sharing a 12-char prefix
+    (shard-XXXXX.bigsite.com style) collapsed the prefix-slice bucketing
+    to ONE bucket — the offsets cumsum became the exact single fat task
+    the decomposition exists to kill. Data-derived range boundaries must
+    split them, and the assigned numbers must still equal the flat
+    window's."""
+    counts = spark.range(100_000).select(
+        F.concat(
+            F.lit("shard-"), F.lpad(F.col("id").cast("string"), 6, "0"), F.lit(".bigsite.com")
+        ).alias("g"),
+        F.lit(1).alias("_gcnt"),
+    )
+    bucketed = _bucketed_counts(counts, "g", counts.schema["g"].dataType)
+    n_buckets = bucketed.select("_gb").distinct().count()
+    assert n_buckets >= max(spark.sparkContext.defaultParallelism, 2), n_buckets
+    rows = bucketed.orderBy("g").select("_gb").collect()
+    vals = [r["_gb"] for r in rows]
+    assert vals == sorted(vals)
+    # end-to-end numbers unchanged on a shared-prefix host set
+    df = spark.range(3_000).select(
+        F.concat(
+            F.lit("shard-"), F.lpad((F.col("id") % 300).cast("string"), 5, "0"), F.lit(".bigsite.com")
+        ).alias("g"),
+        F.col("id").alias("v"),
+    )
+    got, total = add_group_sequence(df, "g", [F.col("v").asc()], "seq", start=0)
+    assert total == 3_000
+    want = _flat_reference(df, "g", [F.col("v").asc()], "seq", 0)
+    assert got.select("g", "v", "seq").exceptAll(want.select("g", "v", "seq")).count() == 0
+    assert want.select("g", "v", "seq").exceptAll(got.select("g", "v", "seq")).count() == 0
 
 
 def test_need_total_false_skips_the_action(spark):

@@ -128,6 +128,53 @@ def test_cuckoo_unit_no_false_negatives_bounded_fp():
     assert fp_rate < 0.005, fp_rate  # theory ~0.00012; huge margin
 
 
+def test_cuckoo_i1_independent_of_shard_residue():
+    """All of one shard's hashes agree on their low log2(n_shards) bits
+    (shard = pmod(hash, n_shards)); i1 must still spread over ALL
+    buckets or insertion degrades to single-choice and overflows long
+    before the sized-for load. Build a table at ~0.73 load purely from
+    keys sharing their low 4 bits — the raw-low-bits i1 overflowed
+    here, the remixed one must not."""
+    import numpy as np
+
+    from borges_spark.operators.seen import _ck_empty, _ck_fp_i1, _ck_insert_many, _ck_lookup
+
+    rng = np.random.RandomState(11)
+    keys = (rng.randint(0, 2**59, size=10_000, dtype=np.int64).astype(np.uint64) << np.uint64(4)) | np.uint64(3)
+    keys = np.unique(keys)
+    table = _ck_insert_many(_ck_empty(len(keys)), keys)
+    assert table is not None  # no overflow at sized load
+    assert bool(_ck_lookup(table, keys).all())
+    _, i1 = _ck_fp_i1(keys, table.shape[0])
+    # i1 reaches (nearly) every bucket, not a 1/16 slice
+    assert len(np.unique(i1)) > table.shape[0] * 0.9
+
+
+def test_cuckoo_bulk_insert_deterministic_and_incremental_exact():
+    """The vectorized bulk insert is a pure function of the KEY SET
+    (input order/duplication must not change a bit), and incremental
+    inserts find everything the batch insert finds (membership — layout
+    may differ)."""
+    import numpy as np
+
+    from borges_spark.operators.seen import _ck_empty, _ck_insert_many, _ck_lookup
+
+    rng = np.random.RandomState(3)
+    keys = np.unique(rng.randint(0, 2**63, size=8_000, dtype=np.int64).astype(np.uint64))
+    shuffled = keys.copy()
+    rng.shuffle(shuffled)
+    with_dups = np.concatenate([shuffled, shuffled[:1000]])
+    t1 = _ck_insert_many(_ck_empty(len(keys)), keys)
+    t2 = _ck_insert_many(_ck_empty(len(keys)), with_dups)
+    assert t1 is not None and t2 is not None
+    assert t1.tobytes() == t2.tobytes()
+    # incremental: two halves into one table -> all keys found
+    t3 = _ck_insert_many(_ck_empty(len(keys)), keys[: len(keys) // 2])
+    t3 = _ck_insert_many(t3, keys[len(keys) // 2 :])
+    assert t3 is not None
+    assert bool(_ck_lookup(t3, keys).all())
+
+
 def test_cuckoo_shard_accepts_incremental_merges(spark):
     """A spilled (cuckoo) shard keeps absorbing later rounds' hashes —
     the insertable-spill property the 'exact' marker lacked — and the

@@ -45,6 +45,9 @@ def test_links_resolve_and_skew(spark):
     by_host = pages.groupBy(F.regexp_extract("url", "https://([^/]+)/", 1).alias("h")).count().collect()
     counts = {r["h"]: r["count"] for r in by_host}
     assert counts["h0.example.com"] >= CFG.n_pages * CFG.hot_frac * 0.9  # hot host skew
+    # every configured host actually exists — the r3 LCG host mixer
+    # collapsed n_hosts=400 to 20 real hosts via a gcd degeneracy
+    assert len(counts) == CFG.n_hosts, sorted(counts)
 
 
 def test_seeds(spark):
