@@ -1621,6 +1621,112 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_streaming_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermarked windows with real late data (VERDICT r3
+    item 8): a three-file stream drained with maxFilesPerTrigger=1 so
+    the watermark advances between batches. File 0 carries 160 on-time
+    events in hours 0-7 plus a sentinel at hour 10 (advancing the
+    watermark to hour 8); file 1 is a lone keep-alive row at 10:30
+    (Spark's two-watermark semantics, SPARK-24634: LATE-ROW FILTERING
+    uses the PREVIOUS batch's watermark while state eviction uses the
+    current one, so late data is only provably dropped when it arrives
+    two batches after the events that advanced the watermark); file 2
+    carries 40 LATE events back in hours 0-1 — far beyond the 2h
+    watermark, so the engine must DROP them — plus a sentinel at hour
+    12. Append output is exactly the closed windows (hours 0-7) over
+    the on-time rows only; the late rows carry a poison value (999) so
+    any leak flips the value hash. The open sentinel windows (ends
+    11h/13h > final watermark 10h) must not appear. The oracle
+    recomputes the surviving aggregation literally."""
+    import atexit
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from borges_spark.streaming.stream_crawl import windowed_event_counts
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    i = F.col("id")
+    etype = F.element_at(
+        F.array(F.lit("click"), F.lit("view"), F.lit("buy")), (F.pmod(i, F.lit(3)) + 1).cast("int")
+    )
+    ontime = spark.range(160).select(
+        i.alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(base) + F.pmod(i, F.lit(8)) * 3600 + F.pmod(i * 37, F.lit(3600))
+        ).alias("ts"),
+        F.pmod(i, F.lit(20)).alias("user_id"),
+        etype.alias("event_type"),
+        (i * F.lit(0.25)).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(10_000).cast("long").alias("event_id"),
+            F.timestamp_seconds(F.lit(base + 10 * 3600)).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    keepalive = spark.range(1).select(
+        F.lit(10_002).cast("long").alias("event_id"),
+        F.timestamp_seconds(F.lit(base + 10 * 3600 + 1800)).alias("ts"),
+        F.lit(0).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    late = spark.range(40).select(
+        (i + 1000).alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(base) + F.pmod(i, F.lit(2)) * 3600 + F.pmod(i * 53, F.lit(3600))
+        ).alias("ts"),
+        F.pmod(i, F.lit(20)).alias("user_id"),
+        etype.alias("event_type"),
+        F.lit(999.0).alias("value"),  # poison: must be watermark-dropped
+        F.lit(None).cast("string").alias("props"),
+    ).unionByName(
+        spark.range(1).select(
+            F.lit(10_001).cast("long").alias("event_id"),
+            F.timestamp_seconds(F.lit(base + 12 * 3600)).alias("ts"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.lit("click").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    root = tempfile.mkdtemp(prefix="borges_stream_append_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    stream_dir = os.path.join(root, "stream")
+    os.makedirs(stream_dir)
+    now = None
+    for k, df in enumerate((ontime, keepalive, late)):
+        tmp = os.path.join(root, f"tmp{k}")
+        df.coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"b{k}.parquet")
+        shutil.move(part, dst)
+        if now is None:
+            now = os.path.getmtime(dst)
+        # strictly increasing mod times pin the file-stream batch order
+        os.utime(dst, (now + 10 * k, now + 10 * k))
+    return windowed_event_counts(
+        spark, stream_dir, output_mode="append", max_files_per_trigger=1,
+        query_name="borges_stream_append",
+    )
+
+
+_STREAMING_APPEND_SQL = """
+SELECT TIMESTAMP '2024-01-01 00:00:00' + to_hours(i.range % 8) AS window_start,
+       CASE i.range % 3 WHEN 0 THEN 'click' WHEN 1 THEN 'view' ELSE 'buy' END AS event_type,
+       count(*) AS n,
+       CAST(sum(CAST(i.range * 0.25 AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM range(0, 160) i GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1682,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_pipeline": q_multimodal_pipeline,
         "multimodal_codecs": q_multimodal_codecs,
         "streaming_window": q_streaming_window,
+        "streaming_append": q_streaming_append,
     }
 
 
@@ -1708,6 +1815,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_pipeline": _MULTIMODAL_SQL,
         "multimodal_codecs": _MULTIMODAL_CODECS_SQL,
         "streaming_window": _STREAMING_WINDOW_SQL,
+        "streaming_append": _STREAMING_APPEND_SQL,
         "explode_positions": _EXPLODE_SQL,
         "scalar_parsing": _SCALAR_SQL,
         "json_access": _JSON_SQL,

@@ -232,32 +232,37 @@ class CrawlEngine:
         seed_priority = (
             self.cfg.initial_cash if self.cfg.order_mode == "opic" else 1.0
         )
-        rows = s.select(
-            url.alias("url"),
-            url_hash_col(url).alias("url_hash"),
-            url_host_col(url).alias("host"),
-            F.lit(0).alias("depth"),
-            F.lit(float(seed_priority)).alias("priority"),
-            F.col("seq").cast("long").alias("discovered_seq"),
-            F.lit(0).alias("discovered_round"),
-            F.lit("pending").alias("state"),
-            F.lit(0).alias("attempts"),
-            F.lit(0).alias("next_allowed_round"),
-            F.lit(0).alias("stage"),
-        )
         # duplicate seed URLs: keep the lowest seq (deterministic — the
         # simulator keeps the first in seed order; dropDuplicates would
         # keep an arbitrary row). min-of-struct with discovered_seq
         # leading is a MAP-SIDE-COMBINABLE aggregate: one partial-agg
         # shuffle, no per-group sort — the row_number window this
         # replaces shuffled AND sorted the full seed set (measured ~2s
-        # of round-0 load at 1M seeds)
-        other = [c for c in rows.columns if c not in ("url_hash", "discovered_seq")]
-        return (
-            rows.groupBy("url_hash")
-            .agg(F.min(F.struct("discovered_seq", *other)).alias("_s"))
-            .select("url_hash", "_s.discovered_seq", *[f"_s.{c}" for c in other])
-            .select(*rows.columns)
+        # of round-0 load at 1M seeds). Dedup runs on the MINIMAL
+        # (url_hash, seq, url) projection; the constant frontier columns
+        # are projected on after, so they never ride the shuffle.
+        slim = s.select(
+            url.alias("url"),
+            url_hash_col(url).alias("url_hash"),
+            F.col("seq").cast("long").alias("discovered_seq"),
+        )
+        deduped = (
+            slim.groupBy("url_hash")
+            .agg(F.min(F.struct("discovered_seq", "url")).alias("_s"))
+            .select("url_hash", F.col("_s.discovered_seq").alias("discovered_seq"), F.col("_s.url").alias("url"))
+        )
+        return deduped.select(
+            "url",
+            "url_hash",
+            url_host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(float(seed_priority)).alias("priority"),
+            "discovered_seq",
+            F.lit(0).alias("discovered_round"),
+            F.lit("pending").alias("state"),
+            F.lit(0).alias("attempts"),
+            F.lit(0).alias("next_allowed_round"),
+            F.lit(0).alias("stage"),
         )
 
     # -- one round ---------------------------------------------------------
@@ -303,12 +308,25 @@ class CrawlEngine:
         round_no: int,
         next_seq: int,
         caches: list | None = None,
+        frontier_join=None,
     ) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame, int, int]:
         """Returns (new_frontier, new_shards, crawl_log, metrics,
         n_selected, next_seq). `shards` is the incremental Bloom seen-set
         (None when use_bloom is off or on the first round). Persisted
         intermediates are appended to `caches`; the caller unpersists
-        them after the snapshot commit."""
+        them after the snapshot commit.
+
+        frontier_join: optional zero-arg callable returning the frame to
+        use for the FRONTIER-WIDE joins (the exact seen anti-join and
+        the state merge). The loop passes the previous round's committed
+        BUCKETED snapshot (waiting out its in-flight write) so those
+        joins stay storage-partitioned — while `frontier` itself is the
+        in-memory checkpointed merge result, which only the selection
+        scan consumes (selection shuffles by host anyway, so bucket
+        layout buys it nothing). Both frames hold identical rows; the
+        split exists purely so round r+1's selection can overlap round
+        r's frontier write without giving up the no-Exchange join
+        property at 10^10-row frontier scale."""
         import time as _t
 
         cfg = self.cfg
@@ -496,6 +514,13 @@ class CrawlEngine:
                 .select(url_hash_col("url").alias("url_hash"), "cash_add")
             )
 
+        # frontier-wide join consumers switch to the committed bucketed
+        # snapshot (waiting out its in-flight write — by now it has had
+        # the whole selection phase to finish)
+        if frontier_join is not None:
+            _tw = _t.time()
+            frontier = frontier_join()
+            self.phase_times["write_wait_s"] = round(_t.time() - _tw, 2)
         unseen = filter_unseen(
             candidates, frontier, shards, cfg.bloom, caches=caches,
             prefetched_shards=shards_fut.result() if shards_fut is not None else None,
@@ -788,36 +813,58 @@ class CrawlEngine:
         round_stats: list[dict] = []
         from concurrent.futures import ThreadPoolExecutor
 
-        # Deferred-commit pipeline: each round writes frontier (+ seen
-        # shards) SYNCHRONOUSLY — the next round reads them — while the
-        # fat crawl_log + metrics writes run on background threads,
-        # overlapped FIRST with those sync writes (4-way write
-        # concurrency inside the round) and then with the NEXT round's
-        # compute. They read only this round's cached intermediates, so
-        # no recomputation races the foreground. The manifest/LATEST
-        # publish happens on the foreground joiner strictly in round
-        # order, AFTER all four writes — so resume semantics are
-        # bit-identical: a crash before round r's publish resumes from
-        # the last published round and GC's the newer files.
-        pool = ThreadPoolExecutor(max_workers=2)
+        # Deferred-commit pipeline (VERDICT r3 item 1): the merged
+        # frontier is materialized ONCE in the foreground as an eager
+        # localCheckpoint — which also TRUNCATES its plan, so handing the
+        # in-memory frame to the next round keeps plans O(1) across
+        # rounds — and then ALL FOUR dataset writes (frontier, seen
+        # shards excepted, crawl_log, metrics) run on background
+        # threads, overlapped with the NEXT round's selection + compute.
+        # Round r+1 starts from the checkpointed frontier instead of
+        # waiting for round r's bucketed table commit; the data is
+        # bit-identical to what the write lands, so determinism is
+        # untouched. The seen-shard write stays synchronous: it is
+        # n_shards tiny rows and the next round re-reads it. The
+        # manifest/LATEST publish happens on the foreground joiner
+        # strictly in round order, AFTER all writes — so resume
+        # semantics are unchanged: a crash before round r's publish
+        # resumes from the last published round and GC's newer files.
+        # (On a cluster, localCheckpoint blocks do not survive executor
+        # loss — irrelevant here: any failure falls back to the
+        # committed snapshot, exactly like a crash.)
+        pool = ThreadPoolExecutor(max_workers=3)
         pending: dict | None = None
 
         def _join_pending(p: dict | None) -> None:
             if p is None:
                 return
             t_w = _time.time()
-            p["fut"].result()
+            for f in p["futs"].values():
+                f.result()
             store.commit_round(p["round"], p["names"], p["meta"])
             for c in p["caches"]:
                 c.unpersist()
             p["stats"]["commit_wait_s"] = round(_time.time() - t_w, 2)
+
+        def _join_provider(p: dict | None):
+            """Frontier frame for round r+1's frontier-wide joins: the
+            round-r bucketed snapshot, once its in-flight write lands."""
+            if p is None:
+                return None
+
+            def provider() -> DataFrame:
+                p["futs"]["frontier"].result()
+                return store.read(spark, p["round"], "frontier")
+
+            return provider
 
         try:
             for r in range(start_round, limit):
                 t0 = _time.time()
                 caches: list = []
                 new_frontier, new_shards, crawl_log, metrics, n_sel, next_seq = self.run_round(
-                    frontier, shards, r, next_seq, caches=caches
+                    frontier, shards, r, next_seq, caches=caches,
+                    frontier_join=_join_provider(pending),
                 )
                 t1 = _time.time()
                 if n_sel == 0:
@@ -825,13 +872,20 @@ class CrawlEngine:
                         c.unpersist()
                     break
 
-                def _bg(r=r, crawl_log=crawl_log, metrics=metrics):
+                # foreground merge materialization + plan truncation: the
+                # ONLY synchronous frontier work left in the round
+                new_frontier = new_frontier.localCheckpoint(eager=True)
+                t_ck = _time.time()
+
+                def _bg_frontier(r=r, df=new_frontier):
+                    store.write_dataset(r, "frontier", df)
+
+                def _bg_logs(r=r, crawl_log=crawl_log, metrics=metrics):
                     store.write_dataset(r, "crawl_log", crawl_log)
                     store.write_dataset(r, "metrics", metrics)
 
-                fut = pool.submit(_bg)  # overlaps the sync writes below
+                futs = {"frontier": pool.submit(_bg_frontier), "logs": pool.submit(_bg_logs)}
                 names = ["frontier", "crawl_log", "metrics"]
-                store.write_dataset(r, "frontier", new_frontier)
                 if new_shards is not None:
                     store.write_dataset(r, "seen_shards", new_shards)
                     names.append("seen_shards")
@@ -841,24 +895,28 @@ class CrawlEngine:
                     "round": r,
                     "n_selected": n_sel,
                     "compute_s": round(t1 - t0, 2),
-                    "sync_write_s": round(t2 - t1, 2),
+                    "ckpt_s": round(t_ck - t1, 2),
+                    "sync_write_s": round(t2 - t_ck, 2),
                     **getattr(self, "phase_times", {}),
                 }
                 _join_pending(pending)  # r-1 publishes before r queues
                 pending = {
-                    "fut": fut, "round": r, "names": names, "meta": meta,
+                    "futs": futs, "round": r, "names": names, "meta": meta,
                     "caches": caches, "stats": stats,
                 }
                 round_stats.append(stats)
                 if self.cfg.verbose:
                     print(
                         f"[round {r}] selected={n_sel} next_seq={next_seq} "
-                        f"compute={t1 - t0:.1f}s sync_write={t2 - t1:.1f}s",
+                        f"compute={t1 - t0:.1f}s ckpt={t_ck - t1:.1f}s",
                         flush=True,
                     )
-                # snapshot-backed re-reads: O(1) plan size per round
+                # hand the CHECKPOINTED frontier to the next round — its
+                # selection runs while this round's bucketed write is
+                # still in flight; the checkpoint truncated the plan, so
+                # lineage stays O(1) without the snapshot re-read
                 frontier.unpersist()  # no-op except the cached round-0 frontier
-                frontier = store.read(spark, r, "frontier")
+                frontier = new_frontier
                 if shards is not None:
                     shards.unpersist()  # no-op except the cached round-0 shards
                 shards = store.read(spark, r, "seen_shards") if new_shards is not None else None

@@ -33,6 +33,8 @@ def windowed_event_counts(
     window: str = "1 hour",
     watermark: str = "2 hours",
     output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+    query_name: str = "borges_stream_out",
 ) -> DataFrame:
     """Watermarked tumbling-window counts over a parquet event stream,
     drained synchronously into a memory sink (local smoke mode).
@@ -48,18 +50,23 @@ def windowed_event_counts(
 
     events_path: a directory of parquet files, or glob-filtered via
     (dir, filename) — file-stream sources require a directory.
+
+    max_files_per_trigger: bound each micro-batch to this many files
+    (oldest mod-time first). Watermarks only advance at batch
+    BOUNDARIES, so a single-batch drain never closes a window in append
+    mode; multi-file inputs + maxFilesPerTrigger=1 is how append-mode
+    late-data semantics are actually exercised.
     """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if events_path.endswith(".parquet"):
         import os
 
         d, fname = os.path.split(events_path)
-        stream = (
-            spark.readStream.schema(EVENTS_SCHEMA)
-            .option("pathGlobFilter", fname)
-            .parquet(d)
-        )
+        stream = reader.option("pathGlobFilter", fname).parquet(d)
     else:
-        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_path)
+        stream = reader.parquet(events_path)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
@@ -69,7 +76,7 @@ def windowed_event_counts(
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
-    name = "borges_stream_out"
+    name = query_name
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
