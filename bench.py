@@ -68,15 +68,16 @@ HEADLINE = [
     "ann_bruteforce",
 ]
 
-# Crawl-leg round size. A fetch round at 10^10-frontier scale selects
-# millions of URLs; the per-round fixed stage latency (~20-30 s of
-# driver actions, JVM warmup and commit work at ANY size) amortizes
-# with round size exactly as it would on a real cluster, so the round
-# must be big enough that the measurement reflects the data plane, not
-# the control plane. 3M pages ≈ 180 s low-arm wall: large enough that
-# fixed costs are <8% of the low arm, small enough for best-of-2
-# sampling inside the driver's budget.
-N_PAGES = int(os.environ.get("BORGES_BENCH_PAGES", "3000000"))
+# Crawl-leg round size. 1M pages / 960k scheduled per round — the same
+# material round size as rounds 2-3, keeping urls/s directly comparable
+# across BENCH records. Larger rounds were measured too (3M via
+# BORGES_BENCH_PAGES): per-round fixed latency amortizes further, but
+# the round's bandwidth-bound half (shuffle/cache/log-encode) grows
+# linearly while this box's memory bus saturates at ~2 cores
+# (bandwidth_ceiling ~0.28 at 2->8; see BASELINE.md), so bigger rounds
+# measure the bus, not the engine. On a real cluster both halves scale
+# per-node.
+N_PAGES = int(os.environ.get("BORGES_BENCH_PAGES", "1000000"))
 
 
 def _spark(cores: int):
@@ -219,19 +220,40 @@ def _burn(n: int) -> int:
     return n
 
 
-def hardware_ceiling(low: int, high: int) -> float:
+def _memburn(n: int) -> int:
+    """Copy-bound kernel: streams ~n bytes through memory repeatedly.
+    Measures the resource the CPU burn cannot see — shared memory
+    bandwidth, which bounds the engine's shuffle/cache/encode phases on
+    this SMT box but scales per-NODE on a real cluster."""
+    import numpy as np
+
+    a = np.zeros(n // 8, dtype=np.float64)
+    for _ in range(6):
+        a = a + 1.0  # read + write the full buffer
+    return n
+
+
+def _ceiling(kernel, work_item: int, low: int, high: int) -> float:
     import multiprocessing as mp
 
     def rate(procs: int) -> float:
-        work = [1_500_000] * procs * 2
+        work = [work_item] * procs * 2
         with mp.Pool(procs) as p:
             t0 = time.time()
-            p.map(_burn, work)
+            p.map(kernel, work)
             return sum(work) / (time.time() - t0)
 
     # interleave to average out box drift
     rl1, rh1, rl2, rh2 = rate(low), rate(high), rate(low), rate(high)
     return ((rh1 + rh2) / 2) / (((rl1 + rl2) / 2) * (high / low))
+
+
+def hardware_ceiling(low: int, high: int) -> float:
+    return _ceiling(_burn, 1_500_000, low, high)
+
+
+def bandwidth_ceiling(low: int, high: int) -> float:
+    return _ceiling(_memburn, 256 * 1024 * 1024, low, high)
 
 
 # ---------------------------------------------------------------------------
@@ -269,10 +291,10 @@ def main() -> None:
         # best-of rejects contention without favoring either arm. All
         # samples are recorded alongside for honesty.
         crawl_lows, crawl_highs = [], []
-        for _ in range(2):  # interleaved samples/arm; best-of rejects a
-            # contended draw. 2 samples (r3 used 3): the 3x-larger round
-            # integrates over 3x more box time per sample, so one extra
-            # sample buys less than it costs in driver budget
+        for _ in range(3):  # 3 interleaved samples/arm: single-leg noise
+            # on this box is ±30%, and the efficiency RATIO pairs two
+            # legs sampled at different box states — best-of-3 rejects
+            # one more contended draw per arm than best-of-2 did
             crawl_lows.append(_run_leg(["--leg", "crawl", "--cores", str(LOW), "--web", web_root]))
             crawl_highs.append(_run_leg(["--leg", "crawl", "--cores", str(HIGH), "--web", web_root]))
         crawl_low = max(crawl_lows, key=lambda c: c["urls_per_s"])
@@ -280,6 +302,7 @@ def main() -> None:
 
         queries = _run_leg(["--leg", "headline"])
         hw = hardware_ceiling(LOW, HIGH)
+        bw = bandwidth_ceiling(LOW, HIGH)
     finally:
         shutil.rmtree(web_root, ignore_errors=True)
 
@@ -311,6 +334,11 @@ def main() -> None:
             "scaling_efficiency": round(eff_total, 3),
             "scaling_efficiency_parse_stage": round(eff_parse, 3),
             "hardware_scaling_ceiling": round(hw, 3),
+            # what perfectly-parallel COPY-bound work achieves at N->4N
+            # on this box: the shuffle/cache/encode half of a round is
+            # bandwidth-bound and cannot beat this locally (a cluster
+            # adds bandwidth with every node; one SMT box does not)
+            "memory_bandwidth_ceiling": round(bw, 3),
             "scaling_efficiency_vs_hardware": round(eff_parse / max(hw, 1e-9), 3),
             "scaling_efficiency_full_round_vs_hardware": round(eff_total / max(hw, 1e-9), 3),
         },

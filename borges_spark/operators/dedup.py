@@ -243,12 +243,30 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "
     sizes = arr.select(id_col, F.size("hs").alias("sz"))
     sh = arr.select(F.col(id_col), F.explode("hs").alias("sh"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
-    rare_sh = sh.join(rare, "sh")
+    # candidate pairs expand IN-ROW from each rare shingle's doc list —
+    # the list is collected only AFTER the df <= max_df filter, so every
+    # group is bounded at max_df rows (scale-safe: no unbounded
+    # collect_list, and no degenerate key can blow an aggregation
+    # buffer). One groupBy replaces the r3 self-join's second shuffle
+    # side, and pair generation emits <= C(max_df, 2) structs per
+    # shingle instead of joining occurrence rows.
+    rare_docs = (
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ds"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        rare_sh.select(F.col(id_col).alias("id_a"), "sh")
-        .join(rare_sh.select(F.col(id_col).alias("id_b"), "sh"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        rare_docs.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
     # exact |A∩B| over the FULL shingle sets of candidate pairs

@@ -309,6 +309,7 @@ class CrawlEngine:
         next_seq: int,
         caches: list | None = None,
         frontier_join=None,
+        early_writes=None,
     ) -> tuple[DataFrame, DataFrame | None, DataFrame, DataFrame, int, int]:
         """Returns (new_frontier, new_shards, crawl_log, metrics,
         n_selected, next_seq). `shards` is the incremental Bloom seen-set
@@ -326,7 +327,14 @@ class CrawlEngine:
         layout buys it nothing). Both frames hold identical rows; the
         split exists purely so round r+1's selection can overlap round
         r's frontier write without giving up the no-Exchange join
-        property at 10^10-row frontier scale."""
+        property at 10^10-row frontier scale.
+
+        early_writes: optional callable(crawl_log, metrics) invoked as
+        soon as the parse output is MATERIALIZED (its caches complete),
+        before the discovery/merge stages run — the loop uses it to
+        start the fat crawl_log/metrics writes on background threads so
+        a drain round's multi-GB log encode overlaps the rest of the
+        round's compute instead of landing after it."""
         import time as _t
 
         cfg = self.cfg
@@ -457,13 +465,14 @@ class CrawlEngine:
                 .withColumn("text", F.lit(None).cast("string"))
                 .withColumn("links", F.lit(None).cast("array<string>"))
                 .withColumn("n_links", F.lit(0))
-            )
+            ).persist()  # tiny (the 404 set); caching it makes the union
+            # below a zero-recompute view over two caches — r3 cached the
+            # UNION as well as the hits, doubling the round's biggest
+            # cache (~GBs of text+links at drain sizes) for no reuse gain
+            caches.append(misses)
             parsed = parsed_hits.unionByName(
                 misses.select(*[f.name for f in parsed_hits.schema.fields])
-            ).persist()  # the union (incl. the misses broadcast-anti) is
-            # consumed by crawl_log, frontier routing, and metrics — cache
-            # it so the concurrent snapshot writers share one computation
-            caches.append(parsed)
+            )
 
         crawl_log = parsed.select(
             F.lit(round_no).alias("round"),
@@ -471,6 +480,15 @@ class CrawlEngine:
             "url", "host", "status", "stage", "text", "lang", "n_links",
             error_class_col().alias("error_class"),
         )
+        if early_writes is not None:
+            if cfg.fetch_mode != "http":
+                # materialize the parse caches now (http mode already
+                # counted them): the multi-GB crawl_log encode then runs
+                # on a background thread UNDER the discovery/merge
+                # stages instead of after them
+                parsed.count()
+            self.phase_times["parse_s"] = round(_t.time() - _t0, 2)
+            early_writes(crawl_log)
 
         # -- discover: explode out-links, first-occurrence dedup ----------
         exploded = parsed.select(
@@ -521,9 +539,10 @@ class CrawlEngine:
             _tw = _t.time()
             frontier = frontier_join()
             self.phase_times["write_wait_s"] = round(_t.time() - _tw, 2)
+        prefetched_rows = shards_fut.result() if shards_fut is not None else None
         unseen = filter_unseen(
             candidates, frontier, shards, cfg.bloom, caches=caches,
-            prefetched_shards=shards_fut.result() if shards_fut is not None else None,
+            prefetched_shards=prefetched_rows,
         ).persist()
         caches.append(unseen)
         # Discovery order is parent-major: (parent_rank ASC, link_pos ASC,
@@ -641,10 +660,21 @@ class CrawlEngine:
             # files/bucket without any doubled delta shuffle
             new_frontier = new_frontier.repartition(buckets, "url_hash")
 
-        # incremental seen-set: fold only this round's new hashes in
+        # incremental seen-set: fold only this round's new hashes in.
+        # When the broadcast-probe prefetch already collected the shard
+        # rows, the merge reads THOSE (a ~MBs parallelized dataset)
+        # instead of the cached/snapshot frame — the cached shard frame
+        # sits behind this round's multi-GB parse caches in the LRU, and
+        # an eviction here would silently recompute the whole filter
+        # build chain inside the (timed, synchronous) shard write.
         new_shards = shards
         if cfg.use_bloom:
-            new_shards = merge_seen_shards(shards, new_rows.select("url_hash"), cfg.bloom)
+            merge_base = shards
+            if prefetched_rows is not None:
+                from borges_spark.operators.seen import SEEN_SHARDS_SCHEMA
+
+                merge_base = self.spark.createDataFrame(prefetched_rows, SEEN_SHARDS_SCHEMA)
+            new_shards = merge_seen_shards(merge_base, new_rows.select("url_hash"), cfg.bloom)
 
         # -- lineage counters (A2: per-host per-round) ---------------------
         # single tagged union + ONE groupBy shuffle (instead of three
@@ -832,7 +862,10 @@ class CrawlEngine:
         # (On a cluster, localCheckpoint blocks do not survive executor
         # loss — irrelevant here: any failure falls back to the
         # committed snapshot, exactly like a crash.)
-        pool = ThreadPoolExecutor(max_workers=3)
+        # 4 workers: the previous round's three dataset writes can still
+        # be in flight when the current round's EARLY crawl_log write is
+        # submitted mid-round — it must not queue behind them
+        pool = ThreadPoolExecutor(max_workers=4)
         pending: dict | None = None
 
         def _join_pending(p: dict | None) -> None:
@@ -862,9 +895,17 @@ class CrawlEngine:
             for r in range(start_round, limit):
                 t0 = _time.time()
                 caches: list = []
+                early_futs: dict = {}
+
+                def _early(cl, r=r, ef=early_futs):
+                    ef["logs"] = pool.submit(
+                        lambda: store.write_dataset(r, "crawl_log", cl)
+                    )
+
                 new_frontier, new_shards, crawl_log, metrics, n_sel, next_seq = self.run_round(
                     frontier, shards, r, next_seq, caches=caches,
                     frontier_join=_join_provider(pending),
+                    early_writes=_early,
                 )
                 t1 = _time.time()
                 if n_sel == 0:
@@ -873,22 +914,39 @@ class CrawlEngine:
                     break
 
                 # foreground merge materialization + plan truncation: the
-                # ONLY synchronous frontier work left in the round
-                new_frontier = new_frontier.localCheckpoint(eager=True)
+                # ONLY synchronous frontier work left in the round. The
+                # FINAL round skips it — there is no next round to hand
+                # the in-memory frame to, so the checkpoint would be a
+                # pure extra pass; its background write computes the
+                # merge directly (from this round's warm caches), exactly
+                # like the r3 sync write but overlapped with the log
+                # writes.
+                last_round = r == limit - 1
+                if not last_round:
+                    new_frontier = new_frontier.localCheckpoint(eager=True)
                 t_ck = _time.time()
 
                 def _bg_frontier(r=r, df=new_frontier):
                     store.write_dataset(r, "frontier", df)
 
-                def _bg_logs(r=r, crawl_log=crawl_log, metrics=metrics):
+                def _bg_log(r=r, crawl_log=crawl_log):
                     store.write_dataset(r, "crawl_log", crawl_log)
+
+                def _bg_metrics(r=r, metrics=metrics):
                     store.write_dataset(r, "metrics", metrics)
 
-                futs = {"frontier": pool.submit(_bg_frontier), "logs": pool.submit(_bg_logs)}
                 names = ["frontier", "crawl_log", "metrics"]
+                # the tiny shard write goes FIRST: submitted after the
+                # fat background writes it would queue behind their
+                # stages for tens of seconds at drain sizes
                 if new_shards is not None:
                     store.write_dataset(r, "seen_shards", new_shards)
                     names.append("seen_shards")
+                futs = dict(early_futs)  # crawl_log may already be in flight
+                futs["frontier"] = pool.submit(_bg_frontier)
+                futs["metrics"] = pool.submit(_bg_metrics)
+                if "logs" not in futs:
+                    futs["logs"] = pool.submit(_bg_log)
                 t2 = _time.time()
                 meta = {"next_seq": next_seq, "n_selected": n_sel, "compute_s": round(t1 - t0, 2)}
                 stats = {
