@@ -1304,7 +1304,14 @@ def _crawl_diff(spark: SparkSession, cfg_kwargs: dict, sim_kwargs: dict) -> Data
     equivalence — crawl ordering, status routing, tier transitions, and
     byte-identical extracted text all fold into the compared tuples —
     which turns the flagship e2e into a DRIVER-VISIBLE exact gate with
-    a trivially-empty DuckDB oracle."""
+    a trivially-empty DuckDB oracle.
+
+    Honest scope note: the simulator imports the ENGINE's parse
+    functions (plans/simulator.py), so text equality in this diff is by
+    construction; the diff's real signal is ordering / status / stage /
+    seen-set equivalence. Parser TEXT semantics are pinned
+    independently by the golden fixtures in tests/test_publishers.py
+    and the generator roundtrip in tests/test_synthetic_web.py."""
     import atexit
     import shutil
     import tempfile
