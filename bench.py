@@ -262,6 +262,86 @@ def bandwidth_ceiling(low: int, high: int) -> float:
 
 
 # ---------------------------------------------------------------------------
+# seen-set build-rate microbench (pure numpy, no Spark): the cuckoo
+# spill-tier shard build is the seen set's write hot path at 10^10 URLs.
+# Times the shipped vectorized bulk insert against the r3-era per-key
+# insertion loop (kept here as the comparison arm only) on one
+# 2^22-key shard, so the "vectorized insert" claim is a number.
+
+
+def _ck_insert_loop(table, hashes):
+    """r3-style per-key cuckoo insert — comparison arm for the
+    microbench, NOT used by the engine (seen.py's vectorized
+    _ck_insert_many is). Same placement semantics: first empty slot in
+    i1 then i2, then a seeded eviction walk."""
+    import numpy as np
+
+    from borges_spark.operators.seen import _CK_MAX_KICKS, _CK_SLOTS, _ck_alt, _ck_fp_i1
+
+    n_buckets = table.shape[0]
+    hs = np.unique(hashes.astype(np.uint64))
+    fps, b1s = _ck_fp_i1(hs, n_buckets)
+    b2s = _ck_alt(b1s, fps, n_buckets)
+    rng_state = 0x9E3779B9
+    for j in range(len(hs)):
+        i1, i2, f = int(b1s[j]), int(b2s[j]), int(fps[j])
+        if (table[i1] == f).any() or (table[i2] == f).any():
+            continue
+        placed = False
+        for b in (i1, i2):
+            empty = np.where(table[b] == 0)[0]
+            if len(empty):
+                table[b, empty[0]] = f
+                placed = True
+                break
+        if placed:
+            continue
+        cur_b, cur_fp = i1, f
+        for _ in range(_CK_MAX_KICKS):
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % _CK_SLOTS
+            cur_fp, table[cur_b, slot] = int(table[cur_b, slot]), cur_fp
+            cur_b = cur_b ^ ((cur_fp * 0x5BD1E995) & (n_buckets - 1))
+            empty = np.where(table[cur_b] == 0)[0]
+            if len(empty):
+                table[cur_b, empty[0]] = cur_fp
+                break
+        else:
+            return None
+    return table
+
+
+def seen_build_bench(n_keys: int = 1 << 22) -> dict:
+    """keys/s building one cuckoo shard of n_keys, vectorized vs loop.
+    The loop arm runs on a 2^4x-smaller key set (it is ~100x slower;
+    full-size would add minutes of bench wall) and reports a rate —
+    rates, not walls, are the comparable statistic."""
+    import numpy as np
+
+    from borges_spark.operators.seen import _ck_empty, _ck_insert_many
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(1, 2**63 - 1, size=n_keys, dtype=np.int64).astype(np.uint64)
+    t0 = time.time()
+    table = _ck_insert_many(_ck_empty(n_keys), keys)
+    vec_s = time.time() - t0
+    assert table is not None
+    loop_n = n_keys >> 4
+    t0 = time.time()
+    lt = _ck_insert_loop(_ck_empty(loop_n), keys[:loop_n])
+    loop_s = time.time() - t0
+    assert lt is not None
+    vec_rate = n_keys / vec_s
+    loop_rate = loop_n / loop_s
+    return {
+        "shard_keys": n_keys,
+        "vectorized_keys_per_s": round(vec_rate),
+        "per_key_loop_keys_per_s": round(loop_rate),
+        "speedup": round(vec_rate / loop_rate, 1),
+    }
+
+
+# ---------------------------------------------------------------------------
 # orchestration
 
 
@@ -308,6 +388,7 @@ def main() -> None:
         queries = _run_leg(["--leg", "headline"])
         hw = hardware_ceiling(LOW, HIGH)
         bw = bandwidth_ceiling(LOW, HIGH)
+        seen_build = seen_build_bench()
     finally:
         shutil.rmtree(web_root, ignore_errors=True)
 
@@ -347,6 +428,7 @@ def main() -> None:
             "scaling_efficiency_vs_hardware": round(eff_parse / max(hw, 1e-9), 3),
             "scaling_efficiency_full_round_vs_hardware": round(eff_total / max(hw, 1e-9), 3),
         },
+        "seen_build": seen_build,
     }
     print(json.dumps(out))
 

@@ -39,6 +39,18 @@ from pyspark.sql import types as T
 
 _WORD_BITS = 64
 
+# Version of the PERSISTED shard encoding: the hash-to-bit/bucket
+# derivations that stored blobs were built with. Any change to
+# `_positions` (bloom) or `_ck_fp_i1`/`_ck_alt` (cuckoo) MUST bump this:
+# probing a stored blob with a different derivation produces false
+# negatives (already-crawled URLs readmitted — silent duplicate
+# crawling). The engine records this in every round manifest and, on
+# resume with a mismatch, rebuilds the shards from the frontier's
+# url_hashes instead of probing the stale blobs.
+#   v1: cuckoo i1 = raw low hash bits (aliased pmod shard routing)
+#   v2: cuckoo i1 = high bits of golden-ratio remix (round 4)
+SEEN_FILTER_FORMAT = 2
+
 
 @dataclass(frozen=True)
 class BloomConfig:

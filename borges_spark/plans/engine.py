@@ -54,7 +54,12 @@ from borges_spark.operators.frontier import (
     route_fetch_outcomes,
 )
 from borges_spark.operators.politeness import PolitenessConfig, budgets_df, select_round
-from borges_spark.operators.seen import BloomConfig, filter_unseen, merge_seen_shards
+from borges_spark.operators.seen import (
+    SEEN_FILTER_FORMAT,
+    BloomConfig,
+    filter_unseen,
+    merge_seen_shards,
+)
 from borges_spark.plans.checkpoint import SnapshotStore
 
 
@@ -329,12 +334,14 @@ class CrawlEngine:
         r's frontier write without giving up the no-Exchange join
         property at 10^10-row frontier scale.
 
-        early_writes: optional callable(crawl_log, metrics) invoked as
-        soon as the parse output is MATERIALIZED (its caches complete),
-        before the discovery/merge stages run — the loop uses it to
-        start the fat crawl_log/metrics writes on background threads so
-        a drain round's multi-GB log encode overlaps the rest of the
-        round's compute instead of landing after it."""
+        early_writes: optional callable(crawl_log) invoked as soon as
+        the parse output is MATERIALIZED (its caches complete), before
+        the discovery/merge stages run — the loop uses it to start the
+        fat crawl_log write on a background thread so a drain round's
+        multi-GB log encode overlaps the rest of the round's compute
+        instead of landing after it. (metrics is NOT early-written: it
+        derives from discovery outputs that don't exist yet at parse
+        time, so the loop submits it with the round-end writes.)"""
         import time as _t
 
         cfg = self.cfg
@@ -426,16 +433,26 @@ class CrawlEngine:
                 "lang", F.lit(None).cast("string")
             )
             parsed = fetched.select(*_parse_cols).mapInPandas(_parse, _PARSE_SCHEMA)
-            # EAGER materialization: a live fetch is a non-deterministic
-            # side effect, and the concurrent snapshot writers (plus any
-            # cache eviction) would otherwise recompute it — fetching each
-            # URL 2-3x per round (a politeness violation) and letting
-            # crawl_log/frontier/metrics in ONE committed snapshot derive
-            # from DIFFERENT fetch results. One count() pins every
-            # consumer to the same fetched bytes.
+            # STORAGE-DEEP exactly-once: a live fetch is a
+            # non-deterministic side effect, so its parse output is
+            # written to the round's store (`fetch_raw`, one
+            # fetch->parse->write pass) and every consumer derives from
+            # the FILES — crawl_log/frontier/metrics in one committed
+            # snapshot can never mix different fetch results, and cache
+            # eviction or EXECUTOR LOSS recomputes from disk instead of
+            # refetching (a persist() pin survives eviction but not a
+            # lost executor). The only refetch window left is a task
+            # retry inside the writing pass itself — irreducible for the
+            # first materialization of any side effect, and bounded to
+            # one partition's URLs. The persist on top is a read cache
+            # only; correctness never depends on it. `fetch_raw` rides
+            # in the round dir before its manifest exists, so a crash
+            # here is GC'd by the resume protocol like any uncommitted
+            # round data.
+            self.store.write_dataset(round_no, "fetch_raw", parsed)
+            parsed = self.store.read(self.spark, round_no, "fetch_raw")
             parsed = parsed.persist()
             caches.append(parsed)
-            parsed.count()
         else:
             # Table-mode fetch: the page store is the 100 TB side — it must
             # never shuffle. One streamed pass over the pages scan:
@@ -776,9 +793,22 @@ class CrawlEngine:
             next_seq = int(store.manifest(latest)["meta"]["next_seq"])
             if self.cfg.use_bloom:
                 try:
+                    recorded_fmt = store.manifest(latest)["meta"].get("seen_filter_format")
+                    if recorded_fmt != SEEN_FILTER_FORMAT:
+                        # shard blobs were written under a different
+                        # hash-derivation version: probing them with the
+                        # current derivation can produce FALSE NEGATIVES
+                        # (readmitted URLs, silent duplicate crawls).
+                        # Rebuild from the frontier's url_hashes — one
+                        # O(seen-set) pass, after which the filter runs
+                        # at full effectiveness (vs permanently degrading
+                        # the shards to the exact tier).
+                        raise LookupError(
+                            f"seen_filter_format {recorded_fmt} != {SEEN_FILTER_FORMAT}"
+                        )
                     shards = store.read(spark, latest, "seen_shards")
                 except Exception:
-                    # older snapshot without shards: rebuild once
+                    # older/mismatched snapshot: rebuild once
                     shards = merge_seen_shards(None, frontier.select("url_hash"), self.cfg.bloom)
         return frontier, shards, start_round, next_seq
 
@@ -948,7 +978,15 @@ class CrawlEngine:
                 if "logs" not in futs:
                     futs["logs"] = pool.submit(_bg_log)
                 t2 = _time.time()
-                meta = {"next_seq": next_seq, "n_selected": n_sel, "compute_s": round(t1 - t0, 2)}
+                meta = {
+                    "next_seq": next_seq,
+                    "n_selected": n_sel,
+                    "compute_s": round(t1 - t0, 2),
+                    # pins the hash-derivation version the shard blobs
+                    # were written with — resume rebuilds on mismatch
+                    # (see _load_state) instead of probing stale blobs
+                    "seen_filter_format": SEEN_FILTER_FORMAT,
+                }
                 stats = {
                     "round": r,
                     "n_selected": n_sel,

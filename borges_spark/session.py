@@ -11,6 +11,43 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Minimum free tmpfs to route shuffle/spill at /dev/shm. 16 GiB keeps a
+# drain-round spill from racing the OOM killer for the driver heap's RAM
+# (tmpfs is typically capped at 50% of RAM = ~62G here; Spark's own
+# shuffle footprint at bench sizes is single-digit GiB).
+_SHM_MIN_FREE_BYTES = 16 * 1024**3
+
+# A sandbox session never legitimately lives this long; anything older
+# under the shared local-dir root is a leak from a killed process.
+_SHM_STALE_SECONDS = 6 * 3600
+
+
+def _sweep_stale_local_dirs(root: str) -> None:
+    """Remove leaked Spark temp subdirs under the shared tmpfs root.
+
+    Killed JVMs never run their shutdown hook, so their
+    blockmgr-*/spark-* dirs stay resident in RAM until reboot and
+    silently shrink the headroom every later session sees. Best-effort:
+    races with a concurrently-running session are resolved by the age
+    gate (a live session's dirs have fresh mtimes), and any FS error is
+    ignored — this is hygiene, not correctness.
+    """
+    import shutil
+    import time
+
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    cutoff = time.time() - _SHM_STALE_SECONDS
+    for name in entries:
+        path = os.path.join(root, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
 
 def get_spark(
     cores: int | None = None,
@@ -75,11 +112,19 @@ def get_spark(
     # measures the disk, not the engine. A real cluster gives every
     # node its own NVMe shuffle volume (throughput scales with nodes);
     # tmpfs is the single-box analog. Spark removes its temp subdirs on
-    # normal shutdown; killed processes may leak until reboot.
+    # normal shutdown; killed processes leak theirs until reboot, so
+    # session start sweeps stale subdirs (>6h old — nothing in this
+    # sandbox runs one session that long) and falls back to the default
+    # local dir when tmpfs headroom is too thin for shuffle to share RAM
+    # with the 48g driver heap (opt-out: BORGES_NO_SHM_LOCAL=1).
     if os.path.isdir("/dev/shm") and not os.environ.get("BORGES_NO_SHM_LOCAL"):
         local_dir = "/dev/shm/borges_spark_local"
         os.makedirs(local_dir, exist_ok=True)
-        builder = builder.config("spark.local.dir", local_dir)
+        _sweep_stale_local_dirs(local_dir)
+        st = os.statvfs("/dev/shm")
+        free_bytes = st.f_bavail * st.f_frsize
+        if free_bytes >= _SHM_MIN_FREE_BYTES:
+            builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -221,3 +221,57 @@ def test_bucketed_frontier_reregisters_in_fresh_catalog(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         frontier.groupBy("url_hash").count().explain("formatted")
     assert "Bucketed: true" in buf.getvalue()
+
+
+def test_resume_rebuilds_shards_on_format_mismatch(spark, tmp_path):
+    """Cross-version resume hazard (round-5 fix): shard blobs written by
+    an older hash-derivation version must NOT be probed — the current
+    derivation would read them wrong and produce false negatives
+    (already-crawled URLs readmitted, silently re-crawled). The manifest
+    pins seen_filter_format; on mismatch _load_state rebuilds the shards
+    from the frontier. Simulate the hazard maximally: mark the committed
+    snapshot as format v1 AND zero every bloom blob (a zeroed bloom
+    answers 'definitely new' for everything — the worst-case stale
+    filter). A resume that probed the stale blobs would duplicate rows;
+    the rebuild path must reproduce the uninterrupted run exactly."""
+    import json
+    import os
+
+    # uninterrupted 5-round run
+    engine_a, _, _ = _setup(spark, tmp_path / "a", max_rounds=5)
+    engine_a.run(resume=False)
+    log_a = [(r["round"], r["rank_in_round"], r["url"], r["status"])
+             for r in engine_a.crawl_log().orderBy("round", "rank_in_round").collect()]
+
+    # 2 rounds, then tamper the committed snapshot: old format + poisoned blobs
+    engine_b, _, _ = _setup(spark, tmp_path / "b", max_rounds=2)
+    engine_b.run(resume=False)
+    store = engine_b.store
+    latest = store.latest_round()
+    mpath = os.path.join(store._round_dir(latest), "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["meta"]["seen_filter_format"] = 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    shard_dir = os.path.join(store._round_dir(latest), "seen_shards")
+    poisoned = (
+        spark.read.parquet(shard_dir)
+        .withColumn("bloom_bits", F.expr("cast(repeat(x'00', length(bloom_bits)) as binary)"))
+        .collect()
+    )
+    spark.createDataFrame(poisoned, spark.read.parquet(shard_dir).schema) \
+        .write.mode("overwrite").parquet(shard_dir)
+
+    engine_b2, _, _ = _setup(spark, tmp_path / "b", max_rounds=5)
+    engine_b2.run(resume=True)
+    log_b = [(r["round"], r["rank_in_round"], r["url"], r["status"])
+             for r in engine_b2.crawl_log().orderBy("round", "rank_in_round").collect()]
+    assert log_b == log_a
+
+    # duplicate-free frontier (a probed stale filter would readmit URLs)
+    fb = engine_b2.frontier()
+    assert fb.count() == fb.select("url").distinct().count()
+    # and the NEW manifests re-pin the current format
+    from borges_spark.operators.seen import SEEN_FILTER_FORMAT
+    assert store.manifest(store.latest_round())["meta"]["seen_filter_format"] == SEEN_FILTER_FORMAT

@@ -96,3 +96,64 @@ def test_http_mode_fetches_each_url_exactly_once(spark, tmp_path):
             assert hits[f"/page/{i}"] == 1, (i, hits[f"/page/{i}"])
     finally:
         srv.shutdown()
+
+
+def test_http_fetch_exactly_once_survives_total_cache_loss(spark, tmp_path, monkeypatch):
+    """Storage-deep exactly-once (round-5): the fetch pin must be the
+    round store's `fetch_raw` FILES, not executor memory — a persist()
+    survives cache eviction but NOT executor loss, where Spark silently
+    recomputes the lost partitions (refetching those URLs and letting
+    one snapshot mix two fetches' results). Simulate the worst case a
+    lost executor can inflict — every cache gone, every consumer
+    recomputing its full plan — by no-op'ing DataFrame.persist/unpersist
+    for the whole run. The counting server must still see each URL
+    exactly once: consumers re-read files, never the network."""
+    import http.server
+    import threading
+    from collections import Counter
+
+    import pyspark.sql
+
+    hits = Counter()
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                hits[self.path] += 1
+            if self.path.startswith("/page/"):
+                i = int(self.path.rsplit("/", 1)[1])
+                links = "".join(
+                    f'<a href="/page/{j}">l</a>' for j in (2 * i + 1, 2 * i + 2) if j < 12
+                )
+                self.send_response(200)
+                self.end_headers()
+                self.wfile.write(f"<html><body><p>pg {i}</p>{links}</body></html>".encode())
+            else:
+                self.send_response(404)
+                self.end_headers()
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "persist", lambda self, *a, **k: self)
+    monkeypatch.setattr(pyspark.sql.DataFrame, "unpersist", lambda self, *a, **k: self)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        seeds = spark.createDataFrame([(f"{base}/page/0", 0)], "url string, seq long")
+        cfg = CrawlConfig(
+            max_rounds=6,
+            fetch_mode="http",
+            politeness=PolitenessConfig(default_delay_s=0.1, round_budget_s=60.0),
+        )
+        engine = CrawlEngine(spark, None, seeds, SnapshotStore(str(tmp_path / "s")), cfg)
+        engine.run(resume=False)
+        fetched = [r["url"] for r in engine.crawl_log().select("url").collect()]
+        assert len(fetched) == 12
+        for i in range(12):
+            assert hits[f"/page/{i}"] == 1, (i, hits[f"/page/{i}"])
+    finally:
+        srv.shutdown()
