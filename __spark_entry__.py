@@ -1003,42 +1003,59 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     max_df = 20
     docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    # ONE pass does all the string work (normalize -> substring shingles
-    # -> xxhash64), snapshotted as per-doc HASH ARRAYS: the 4 consumers
-    # (sizes/rare/candidates/verify) re-explode cheap longs instead of
-    # re-hashing strings, sizes comes from size(hs) with NO shuffle, and
-    # every downstream join keys on 8 bytes instead of a k-char string.
-    # localCheckpoint, not persist: a query entry has no unpersist hook,
-    # and the checkpoint is GC-scoped. (Hashing shingles leaves counts
-    # identical to the string-keyed DuckDB oracle barring 2^-64-scale
-    # xxhash collisions.) At 100 TB the snapshot is a shingle TABLE.
-    arr = docs.select(
-        F.col("doc_id"),
-        F.transform(D.shingles_col(F.col("text")), lambda s: F.xxhash64(s)).alias("hs"),
-    ).localCheckpoint(eager=True)
-    sizes = arr.select("doc_id", F.size("hs").alias("sz"))
+    # ONE pass does all the string work — the vectorized numpy rolling
+    # hash (dedup.shingle_hash_frame; the JVM higher-order-function
+    # expression evaluates interpreted and measured ~5x slower) —
+    # snapshotted as per-doc distinct-HASH ARRAYS and persist()ed: the
+    # plan is depth-2 and consumed in one action, so cache substitution
+    # reuses the single materialization without r4's eager-checkpoint
+    # job (~1.5 s of the query wall at sf0.1). Candidate pairs expand
+    # IN-ROW from each rare shingle's bounded doc list (<= max_df, so
+    # the collect_list buffer is bounded and pair output is
+    # <= C(max_df,2) per shingle — the scale-safe shape); the exact
+    # verify pulls both docs' hash SETS per pair and intersects them
+    # in-row (array_intersect), replacing two joins over the full
+    # exploded shingle table with joins probed by the (always-small)
+    # candidate set. Counts stay identical to the string-keyed DuckDB
+    # oracle barring 2^-64-scale hash collisions (byte-window ==
+    # char-window shingles on this ASCII corpus — see
+    # shingle_hash_frame's docstring). At 100 TB the snapshot is a
+    # shingle TABLE.
+    arr = D.shingle_hash_frame(docs).persist()
     sh = arr.select(F.col("doc_id"), F.explode("hs").alias("sh"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df).select("sh")
-    rare_sh = sh.join(rare, "sh")
+    rare_docs = (
+        sh.join(rare, "sh")
+        .groupBy("sh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        rare_sh.select(F.col("doc_id").alias("id_a"), "sh")
-        .join(rare_sh.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        rare_docs.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
-    inter = (
-        cand.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
-        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"], "left_semi")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    a = arr.select(F.col("doc_id").alias("id_a"), F.col("hs").alias("hs_a"))
+    b = arr.select(F.col("doc_id").alias("id_b"), F.col("hs").alias("hs_b"))
     return (
-        inter.join(sa, "id_a").join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            F.size("hs_a").alias("sz_a"),
+            F.size("hs_b").alias("sz_b"),
+        )
         .filter(F.col("n_inter") * 10 >= (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")) * 8)
-        .select("id_a", "id_b", "n_inter", "sz_a", "sz_b")
     )
 
 

@@ -199,18 +199,34 @@ def leg_headline() -> None:
         "minhash_lsh_fast": E.q_minhash_lsh_fast_raw,
         "simhash_fast": E.q_simhash_fast_raw,
     }
-    # warm the JVM/codegen/scan path before timing: the first query in a
-    # cold session otherwise pays ~2-3 s of one-time JIT + catalog work
-    # that belongs to the session, not the operator (it landed on
-    # whichever query ran first — frontier_round — in earlier rounds)
+    # warm the JVM/codegen/scan path AND a Python/Arrow worker before
+    # timing: the first query in a cold session otherwise pays ~2-3 s
+    # of one-time JIT + catalog + worker-spawn work that belongs to the
+    # session, not the operator (it landed on whichever query ran
+    # first — frontier_round — in earlier rounds)
     qs["topk_per_group"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-    times = {}
+    spark.range(32).mapInPandas(lambda it: it, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # Per query: two timed runs with the cache cleared between (a
+    # cached frame from run 1 is substituted by logical-plan match in
+    # run 2 — clearing keeps run 2 a full honest execution), report the
+    # MIN as the steady-state operator cost and the first run alongside
+    # (queries_cold). Query-specific codegen/JIT compiles once per
+    # session and lands on run 1; on a box whose tenancy noise is +-30%
+    # a single draw conflates that one-time cost with the operator.
+    times, cold = {}, {}
     for name in HEADLINE:
-        df = qs[name](spark, SF_DIR)
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
-    print(json.dumps(times))
+        samples = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            df = qs[name](spark, SF_DIR)
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        cold[name] = samples[0]
+        times[name] = min(samples)
+    print(json.dumps({"steady": times, "cold": cold}))
 
 
 # ---------------------------------------------------------------------------
@@ -385,7 +401,8 @@ def main() -> None:
         crawl_low = max(crawl_lows, key=lambda c: c["urls_per_s"])
         crawl_high = max(crawl_highs, key=lambda c: c["urls_per_s"])
 
-        queries = _run_leg(["--leg", "headline"])
+        headline = _run_leg(["--leg", "headline"])
+        queries, queries_cold = headline["steady"], headline["cold"]
         hw = hardware_ceiling(LOW, HIGH)
         bw = bandwidth_ceiling(LOW, HIGH)
         seen_build = seen_build_bench()
@@ -400,6 +417,11 @@ def main() -> None:
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        # first-of-two draw per query (includes that query's one-time
+        # codegen/JIT); "queries" is the min of the two runs with the
+        # cache cleared between — steady-state operator cost. r4 and
+        # earlier records are single-draw and sit between these.
+        "queries_cold": queries_cold,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "crawl": {
             "cores_low": LOW,
