@@ -1537,14 +1537,16 @@ FROM documents WHERE doc_id < 100
 
 def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode with an EXACT oracle: deterministic BMP / PNG
-    (stdlib zlib inflate + per-row unfilter) / GIF (real LZW) images,
-    PCM WAVs and Y4M video streams built from index math, decoded by the
-    pure-numpy codec parsers (operators/codecs) inside the Arrow
-    pipeline. The checked outputs are the exactly-representable feature
-    components (dims, constant-plane luma, sample-count duration, frame
-    counts), so the value hash is deterministic cross-engine while the
-    decode underneath is genuine header/plane/sample/bitstream parsing.
-    Only genuinely codec-bound formats (JPEG/MP4) keep the documented
+    (stdlib zlib inflate + per-row unfilter) / GIF (real LZW) / JPEG
+    (baseline Huffman + dequant + IDCT; even-gray fixtures make the
+    lossy codec bit-exact) images, PCM WAVs and Y4M video streams built
+    from index math, decoded by the pure-numpy codec parsers
+    (operators/codecs) inside the Arrow pipeline. The checked outputs
+    are the exactly-representable feature components (dims,
+    constant-plane luma, sample-count duration, frame counts), so the
+    value hash is deterministic cross-engine while the decode
+    underneath is genuine header/plane/sample/bitstream parsing. Only
+    genuinely codec-bound formats (MP4/WebP) keep the documented
     deterministic fallback."""
     import numpy as np
 
@@ -1573,6 +1575,13 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pal = np.array([[v, v, v], [0, 0, 0]], dtype=np.uint8)
         gif = C.encode_gif(np.zeros((h, w), dtype=np.uint8), pal)
         rows.append((f"gif{i}", "image", "image/gif", bytearray(gif), None))
+    for i in range(15):  # constant-gray JPEGs through baseline Huffman+IDCT
+        # v EVEN => the luma DC (8*(v-128)) quantizes exactly by 16 and
+        # chroma is exactly 128 (DC 0), so decode reproduces v exactly
+        # and the feature hash is deterministic despite the lossy codec
+        w, h, v = 8 + i % 5, 6 + i % 4, (14 * i) % 256
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        rows.append((f"jpg{i}", "image", "image/jpeg", bytearray(C.encode_jpeg(img)), None))
     media = spark.createDataFrame(
         rows,
         "media_id string, kind string, mime string, payload binary, "
@@ -1620,6 +1629,13 @@ SELECT 'gif' || CAST(i.range AS VARCHAR), 'image',
        CAST(5 + i.range % 3 AS DOUBLE),
        CAST(3 + i.range % 2 AS DOUBLE),
        CAST((11 * i.range) % 256 AS DOUBLE),
+       CAST(0 AS DOUBLE)
+FROM range(0, 15) i
+UNION ALL
+SELECT 'jpg' || CAST(i.range AS VARCHAR), 'image',
+       CAST(8 + i.range % 5 AS DOUBLE),
+       CAST(6 + i.range % 4 AS DOUBLE),
+       CAST((14 * i.range) % 256 AS DOUBLE),
        CAST(0 AS DOUBLE)
 FROM range(0, 15) i
 """

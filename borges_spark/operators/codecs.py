@@ -44,6 +44,8 @@ def sniff(payload: bytes) -> str | None:
         return "png"
     if payload.startswith((b"GIF87a", b"GIF89a")):
         return "gif"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
     return None
 
 
@@ -499,6 +501,468 @@ def encode_gif(img_indices: np.ndarray, palette: np.ndarray) -> bytes:
     header = b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (ct_bits - 1), 0, 0)
     desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
     return header + pal.tobytes() + desc + bytes([mcs]) + blocks + b"\x00\x3b"
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential DCT (ITU-T T.81): pure-numpy Huffman +
+# dequant + IDCT. Quant/Huffman tables below are the spec's own example
+# tables (T.81 Annex K.1/K.3) — public constants, not tuned data. The
+# reference repo contains no media code; this is an original
+# implementation of the public format, like the PNG/GIF decoders above.
+
+# Annex K.1 example quantization tables (natural row-major order)
+_JPEG_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+
+_JPEG_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zigzag scan order: _JPEG_ZIGZAG[i] = natural index of the i-th
+# zigzag-ordered coefficient
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL)
+_JPEG_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+        0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+        0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+        0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+        0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+        0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+        0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+        0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+        0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+        0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+        0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _dct8_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix: coeffs = C @ block @ C.T,
+    block = C.T @ coeffs @ C (C is orthogonal)."""
+    k = np.arange(8).reshape(-1, 1).astype(np.float64)
+    n = np.arange(8).reshape(1, -1).astype(np.float64)
+    c = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT8 = _dct8_matrix()
+
+
+def _huff_canonical(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical assignment of T.81
+    Annex C (codes of ascending length, counting upward)."""
+    out, code = {}, 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _jpeg_amplitude(v: int, cat: int) -> int:
+    # negative amplitudes are stored as v - 1 in cat bits (one's
+    # complement of |v|) — T.81 F.1.2.1.1
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """Baseline JFIF encoder over (H, W, 3) uint8 RGB: 4:4:4 sampling,
+    Annex-K quant + Huffman tables (test fixture generator — the same
+    role encode_png/encode_gif play for their decoders)."""
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+    cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for p in (y, cb, cr):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        planes.append(pad)
+
+    dc_luma = _huff_canonical(*_JPEG_HUFF_DC_LUMA)
+    dc_chroma = _huff_canonical(*_JPEG_HUFF_DC_CHROMA)
+    ac_luma = _huff_canonical(*_JPEG_HUFF_AC_LUMA)
+    ac_chroma = _huff_canonical(*_JPEG_HUFF_AC_CHROMA)
+    quants = (_JPEG_QUANT_LUMA, _JPEG_QUANT_CHROMA, _JPEG_QUANT_CHROMA)
+    dc_tabs = (dc_luma, dc_chroma, dc_chroma)
+    ac_tabs = (ac_luma, ac_chroma, ac_chroma)
+
+    # quantized zigzag coefficients per component, all blocks vectorized
+    comp_coeffs = []
+    for ci, plane in enumerate(planes):
+        blocks = (
+            plane.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        coeffs = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        q = quants[ci].reshape(8, 8).astype(np.float64)
+        qz = np.round(coeffs / q).astype(np.int32).reshape(-1, 64)[:, _JPEG_ZIGZAG]
+        comp_coeffs.append(qz)
+
+    bw = _BitWriter()
+    n_by, n_bx = ph // 8, pw // 8
+    pred = [0, 0, 0]
+    for by in range(n_by):
+        for bx in range(n_bx):
+            bi = by * n_bx + bx
+            for ci in range(3):
+                z = comp_coeffs[ci][bi]
+                diff = int(z[0]) - pred[ci]
+                pred[ci] = int(z[0])
+                cat = _jpeg_category(diff)
+                code, length = dc_tabs[ci][cat]
+                bw.write(code, length)
+                if cat:
+                    bw.write(_jpeg_amplitude(diff, cat), cat)
+                run = 0
+                last_nz = int(np.max(np.nonzero(z)[0])) if np.any(z[1:]) else 0
+                for k in range(1, last_nz + 1):
+                    v = int(z[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_tabs[ci][0xF0]  # ZRL
+                        bw.write(code, length)
+                        run -= 16
+                    cat = _jpeg_category(v)
+                    code, length = ac_tabs[ci][(run << 4) | cat]
+                    bw.write(code, length)
+                    bw.write(_jpeg_amplitude(v, cat), cat)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_tabs[ci][0x00]  # EOB
+                    bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB,
+        b"\x00" + bytes(int(v) for v in _JPEG_QUANT_LUMA[_JPEG_ZIGZAG])
+        + b"\x01" + bytes(int(v) for v in _JPEG_QUANT_CHROMA[_JPEG_ZIGZAG]),
+    )
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        dht(0, 0, _JPEG_HUFF_DC_LUMA) + dht(1, 0, _JPEG_HUFF_AC_LUMA)
+        + dht(0, 1, _JPEG_HUFF_DC_CHROMA) + dht(1, 1, _JPEG_HUFF_AC_CHROMA),
+    )
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan + b"\xff\xd9"  # EOI
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with the
+    0xFF00 stuffing already stripped by the caller."""
+
+    def __init__(self, data: np.ndarray):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("truncated JPEG entropy data")
+        b = (int(self.data[byte]) >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+class _HuffDecoder:
+    """Canonical Huffman decode via per-length (mincode, maxcode,
+    valptr) — the T.81 Annex F DECODE procedure."""
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        self.vals = vals
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code, i = 0, 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = i
+                self.mincode[length] = code
+                code += bits[length - 1]
+                i += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | br.bit()
+            length += 1
+            if length > 16:
+                raise ValueError("bad JPEG Huffman code")
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """(H, W, 3) uint8 RGB from a baseline sequential-DCT JPEG (SOF0):
+    segment parse, canonical Huffman entropy decode, dequant, de-zigzag,
+    IDCT, chroma upsample (replication), YCbCr->RGB. Supports 1- or
+    3-component scans, arbitrary h/v sampling factors, restart markers.
+    Progressive (SOF2) and arithmetic-coded streams raise."""
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    comps = None  # [(cid, h, v, tq)]
+    h = w = 0
+    restart_interval = 0
+    scan_comps = None
+    scan_start = None
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker sync")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        ln = struct.unpack_from(">H", payload, pos)[0]
+        body = payload[pos + 2 : pos + ln]
+        if marker == 0xDB:  # DQT
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(body[bpos + 1 : bpos + 65], dtype=np.uint8)
+                quant[tq] = tbl
+                bpos += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            h, w = struct.unpack_from(">HH", body, 1)
+            n_comp = body[5]
+            comps = []
+            for i in range(n_comp):
+                cid, hv, tq = body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+        elif marker == 0xC4:  # DHT
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1 : bpos + 17])
+                nv = sum(bits)
+                vals = list(body[bpos + 17 : bpos + 17 + nv])
+                (huff_ac if tc else huff_dc)[th] = _HuffDecoder(bits, vals)
+                bpos += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan_comps.append((cs, tt >> 4, tt & 0xF))
+            scan_start = pos + ln
+            break
+        pos += ln
+    if comps is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+
+    # entropy-coded data runs to the next non-RST marker; strip stuffing
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    end = len(payload) - 2  # EOI
+    stream = raw[scan_start:end]
+    # remove 0x00 bytes that follow 0xFF (stuffing); RST markers are
+    # handled below by resetting at byte positions recorded here
+    ff = stream == 0xFF
+    stuffed = np.zeros(len(stream), dtype=bool)
+    stuffed[1:] = ff[:-1] & (stream[1:] == 0x00)
+    rst_mask = np.zeros(len(stream), dtype=bool)
+    rst_mask[1:] = ff[:-1] & (stream[1:] >= 0xD0) & (stream[1:] <= 0xD7)
+    # drop the stuffed 0x00 (its 0xFF is DATA and stays); drop BOTH
+    # bytes of a restart marker
+    rst_ff = np.zeros(len(stream), dtype=bool)
+    rst_ff[:-1] = rst_mask[1:]
+    data = stream[~(stuffed | rst_mask | rst_ff)]
+    br = _BitReader(data)
+
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * max_h, 8 * max_v
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+    planes = {
+        cid: np.zeros((mcus_y * 8 * cv, mcus_x * 8 * ch), dtype=np.float64)
+        for cid, ch, cv, _ in comps
+    }
+    comp_of = {cid: (ch, cv, tq) for cid, ch, cv, tq in comps}
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                br.pos = (br.pos + 7) & ~7  # byte-align at restart
+                for cid in pred:
+                    pred[cid] = 0
+            for cid, td, ta in scan_comps:
+                ch, cv, tq = comp_of[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        z = np.zeros(64, dtype=np.int32)
+                        cat = huff_dc[td].decode(br)
+                        diff = _jpeg_extend(br.bits(cat), cat) if cat else 0
+                        pred[cid] += diff
+                        z[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = huff_ac[ta].decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            size = sym & 0xF
+                            z[k] = _jpeg_extend(br.bits(size), size)
+                            k += 1
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[_JPEG_ZIGZAG] = z * quant[tq]
+                        block = _DCT8.T @ coeffs.reshape(8, 8) @ _DCT8 + 128.0
+                        py = (my * cv + by) * 8
+                        px = (mx * ch + bx) * 8
+                        planes[cid][py : py + 8, px : px + 8] = block
+            n_mcu += 1
+
+    # upsample to full resolution and convert
+    full = {}
+    for cid, ch, cv, _ in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, max_v // cv, axis=0), max_h // ch, axis=1)
+        full[cid] = p[:h, :w]
+    if len(comps) == 1:
+        ych = np.clip(np.rint(full[comps[0][0]]), 0, 255)
+        return np.repeat(ych[:, :, None], 3, axis=2).astype(np.uint8)
+    y, cb, cr = (full[c[0]] for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via pure index math (the vectorized

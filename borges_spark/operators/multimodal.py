@@ -6,10 +6,13 @@ Decode is TIERED by format:
     (operators/codecs): BMP / P6-PPM images, PCM WAV audio, and
     YUV4MPEG2 video streams (frame-sampled) — genuine headers, planes
     and samples, with resize and feature math on the decoded arrays;
-  - codec-bound formats (JPEG, MP4, ...) would need PIL/ffmpeg, which
-    are not in this image: those payloads take the clearly-marked
-    deterministic byte-moment fallback (and empty payloads raise), so
-    the Spark plumbing stays fully exercised end-to-end.
+  - baseline JPEG also decodes FOR REAL (pure-numpy Huffman + dequant +
+    IDCT, operators/codecs.decode_jpeg);
+  - the remaining codec-bound formats (MP4, WebP, ...) would need
+    PIL/ffmpeg, which are not in this image: those payloads take the
+    clearly-marked deterministic byte-moment fallback (and empty
+    payloads raise), so the Spark plumbing stays fully exercised
+    end-to-end.
 
 This mirrors how the reference treats `Paper_Content` as an opaque
 bytes blob with size-aware handling (DocumentTooLarge routing —
@@ -76,11 +79,12 @@ def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Image features. BMP/PPM/PNG/GIF payloads decode for real
+    """Image features. BMP/PPM/PNG/GIF/JPEG payloads decode for real
     (pure-numpy header+plane parsers, stdlib zlib inflate + unfilter for
-    PNG, LZW for GIF, nearest-neighbor resize, grid-luma features);
-    codec-bound formats (JPEG/WebP/...) fall back to the deterministic
-    byte-moment vector so the pipeline shape stays exercised without PIL."""
+    PNG, LZW for GIF, baseline Huffman+IDCT for JPEG, nearest-neighbor
+    resize, grid-luma features); the remaining codec-bound formats
+    (WebP/AVIF/...) fall back to the deterministic byte-moment vector
+    so the pipeline shape stays exercised without PIL."""
     if not payload:
         raise NotImplementedError("image decode requires a payload")
     from borges_spark.operators import codecs
@@ -94,7 +98,9 @@ def _decode_image(payload: bytes) -> list[float]:
         return codecs.image_features(codecs.decode_png(payload))
     if fmt == "gif":
         return codecs.image_features(codecs.decode_gif(payload))
-    b = memoryview(payload)  # codec-bound fallback (JPEG/WebP/...)
+    if fmt == "jpeg":
+        return codecs.image_features(codecs.decode_jpeg(payload))
+    b = memoryview(payload)  # codec-bound fallback (WebP/AVIF/...)
     n = len(b)
     mean = sum(b) / n
     return [float(n % 251), float(mean), float(b[0]), float(b[-1])]

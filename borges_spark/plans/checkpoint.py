@@ -63,15 +63,19 @@ class SnapshotStore:
         return f"borges_{self._digest}_r{round_no:06d}_frontier"
 
     # -- commit protocol -----------------------------------------------
+    # Snapshot parquet codec (overridable for A/B via env): snapshots
+    # are hot engine state rewritten every round, so the choice trades
+    # encoder CPU (scales with cores) against bytes through the shared
+    # memory bus / shuffle volume (does not scale on one box).
+    _codec = os.environ.get("BORGES_SNAPSHOT_CODEC", "snappy")
+
     def write_dataset(self, round_no: int, name: str, df: DataFrame) -> float:
         """Write one dataset of a round (no commit). Returns seconds."""
         t0 = time.time()
-        # snappy, not the session's zstd: snapshots are hot engine
-        # state rewritten every round — encode speed beats ratio here
         if name == "frontier" and self.frontier_buckets:
             self._write_frontier_bucketed(df, round_no)
         else:
-            df.write.mode("overwrite").option("compression", "snappy").parquet(
+            df.write.mode("overwrite").option("compression", self._codec).parquet(
                 os.path.join(self._round_dir(round_no), name)
             )
         return round(time.time() - t0, 2)
@@ -149,7 +153,7 @@ class SnapshotStore:
         shutil.rmtree(path, ignore_errors=True)
         (
             df.write.mode("overwrite")
-            .option("compression", "snappy")
+            .option("compression", self._codec)
             .option("path", path)
             .bucketBy(self.frontier_buckets, "url_hash")
             .format("parquet")

@@ -63,6 +63,22 @@ from borges_spark.operators.seen import (
 from borges_spark.plans.checkpoint import SnapshotStore
 
 
+def _ckpt_storage_level():
+    """Storage level for the per-round frontier localCheckpoint.
+
+    PySpark's MEMORY_AND_DISK stores SERIALIZED blocks (unlike Scala's
+    deserialized default) — for the frontier's UnsafeRow blocks that
+    halves the copy the checkpoint streams through the memory bus each
+    round. Env-overridable (BORGES_CKPT_DESER=1) for A/B measurement."""
+    import os
+
+    from pyspark import StorageLevel
+
+    if os.environ.get("BORGES_CKPT_DESER"):
+        return StorageLevel.MEMORY_AND_DISK_DESER
+    return StorageLevel.MEMORY_AND_DISK
+
+
 @dataclass(frozen=True)
 class CrawlConfig:
     verbose: bool = False
@@ -953,7 +969,9 @@ class CrawlEngine:
                 # writes.
                 last_round = r == limit - 1
                 if not last_round:
-                    new_frontier = new_frontier.localCheckpoint(eager=True)
+                    new_frontier = new_frontier.localCheckpoint(
+                        eager=True, storageLevel=_ckpt_storage_level()
+                    )
                 t_ck = _time.time()
 
                 def _bg_frontier(r=r, df=new_frontier):

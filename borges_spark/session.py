@@ -104,6 +104,11 @@ def get_spark(
         # parents are full selection passes) — at drain-round sizes on
         # few cores that upstream legitimately runs past 300s
         .config("spark.sql.broadcastTimeout", "3600")
+        # shuffle/spill/broadcast block codec: trades executor CPU
+        # (scales with cores/nodes) for bytes through the shared memory
+        # bus (fixed per box) — env-overridable for A/B (lz4 = Spark
+        # default; zstd halves shuffle bytes at ~2x encode CPU)
+        .config("spark.io.compression.codec", os.environ.get("BORGES_IO_CODEC", "lz4"))
     )
     # Shuffle/spill storage: this box's /tmp is ext4 on one virtual disk,
     # so shuffle writes serialize on a device whose throughput does NOT

@@ -209,3 +209,144 @@ def test_tiered_dispatch_through_spark_pipeline(spark):
     # codec-bound fallback: deterministic byte moments
     fake = got["jpg1"]["feature"]
     assert fake[0] == float(len(b"\xff\xd8\xe0fakejpeg") % 251)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81)
+
+
+def _jpeg_seg(marker, body):
+    import struct
+
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _jpeg_tables_gray():
+    import struct
+
+    dqt = _jpeg_seg(0xDB, b"\x00" + bytes(int(v) for v in C._JPEG_QUANT_LUMA[C._JPEG_ZIGZAG]))
+    bits_dc, vals_dc = C._JPEG_HUFF_DC_LUMA
+    bits_ac, vals_ac = C._JPEG_HUFF_AC_LUMA
+    dht = _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(bits_dc) + bytes(vals_dc)
+        + bytes([0x10]) + bytes(bits_ac) + bytes(vals_ac),
+    )
+    return struct, dqt, dht
+
+
+def test_jpeg_roundtrip_solid_and_gradient():
+    """Encoder->decoder agreement with tight error bounds: a solid color
+    is DC-only (error <= 1 from quantization rounding); a smooth
+    gradient stays within a few counts. Exact equality is impossible —
+    JPEG is lossy — so the bounds ARE the spec-level assertion."""
+    img = np.full((16, 24, 3), [200, 64, 90], dtype=np.uint8)
+    dec = C.decode_jpeg(C.encode_jpeg(img))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    yy, xx = np.mgrid[0:40, 0:56]
+    grad = np.stack(
+        [np.clip(yy * 3 + 20, 0, 255), np.clip(xx * 2 + 50, 0, 255), np.clip(yy + xx + 30, 0, 255)],
+        axis=2,
+    ).astype(np.uint8)
+    dec2 = C.decode_jpeg(C.encode_jpeg(grad))
+    err = np.abs(dec2.astype(int) - grad.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 12
+
+
+def test_jpeg_even_gray_exact_and_odd_sizes():
+    # even v: luma DC divides the quant step exactly, chroma DC is 0 —
+    # the decode is bit-exact despite the lossy codec (the property the
+    # multimodal_codecs oracle rows rely on)
+    for v in (0, 128, 160, 254):
+        img = np.full((10, 13, 3), v, dtype=np.uint8)
+        assert (C.decode_jpeg(C.encode_jpeg(img)) == v).all()
+    rng = np.random.default_rng(7)
+    for shape in [(7, 5), (8, 8), (17, 31)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        assert C.decode_jpeg(C.encode_jpeg(img)).shape == img.shape
+
+
+def test_jpeg_noise_bounded_and_ff_stuffing():
+    """Noise maximizes entropy-coded 0xFF bytes, exercising the byte
+    (un)stuffing path; the reconstruction must stay JPEG-plausible."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    enc = C.encode_jpeg(img)
+    assert b"\xff\x00" in enc  # stuffing actually occurred
+    dec = C.decode_jpeg(enc)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 64
+
+
+def test_jpeg_hand_built_spec_vector_flat_gray():
+    """Fully hand-assembled 8x8 grayscale JPEG, independent of
+    encode_jpeg: DC category 5 is canonical code '110' in the Annex K.3
+    DC-luma table, amplitude 16 = '10000', EOB = '1010'; quantized DC
+    16 * q0 16 = 256 -> flat (256/8 + 128) = 160. Verifies canonical
+    Huffman assignment, dequant, IDCT and level shift end to end."""
+    struct, dqt, dht = _jpeg_tables_gray()
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    scan = bytes([0b11010000, 0b10101111])  # 110 10000 1010 + 1111 pad
+    out = C.decode_jpeg(b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+    assert out.shape == (8, 8, 3) and (out == 160).all()
+
+
+def test_jpeg_restart_markers_reset_predictor():
+    """DRI=1 with an RST0 between two MCUs: each MCU re-encodes the SAME
+    DC diff (predictor reset), and the reader must byte-align across the
+    marker. Both halves must decode to flat 160."""
+    struct, dqt, dht = _jpeg_tables_gray()
+    dri = _jpeg_seg(0xDD, struct.pack(">H", 1))
+    sof = _jpeg_seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    sos = _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    mcu = bytes([0b11010000, 0b10101111])  # 12 bits + pad-to-byte
+    scan = mcu + b"\xff\xd0" + mcu
+    out = C.decode_jpeg(b"\xff\xd8" + dqt + dri + sof + dht + sos + scan + b"\xff\xd9")
+    assert out.shape == (8, 16, 3) and (out == 160).all()
+
+
+def test_jpeg_420_subsampling_hand_vector():
+    """Hand-built 4:2:0 MCU (Y 2x2 blocks + Cb + Cr): Y DC cat5 code
+    '110'+'10000' then three zero-diff Y blocks ('00'+'1010'), chroma
+    DC cat0 '00' + chroma EOB '00'. Exercises multi-block MCU order,
+    per-table Huffman selection and chroma replication upsampling."""
+    import struct as _s
+
+    dqt = _jpeg_seg(
+        0xDB,
+        b"\x00" + bytes(int(v) for v in C._JPEG_QUANT_LUMA[C._JPEG_ZIGZAG])
+        + b"\x01" + bytes(int(v) for v in C._JPEG_QUANT_CHROMA[C._JPEG_ZIGZAG]),
+    )
+    dht = _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(C._JPEG_HUFF_DC_LUMA[0]) + bytes(C._JPEG_HUFF_DC_LUMA[1])
+        + bytes([0x10]) + bytes(C._JPEG_HUFF_AC_LUMA[0]) + bytes(C._JPEG_HUFF_AC_LUMA[1])
+        + bytes([0x01]) + bytes(C._JPEG_HUFF_DC_CHROMA[0]) + bytes(C._JPEG_HUFF_DC_CHROMA[1])
+        + bytes([0x11]) + bytes(C._JPEG_HUFF_AC_CHROMA[0]) + bytes(C._JPEG_HUFF_AC_CHROMA[1]),
+    )
+    sof = _jpeg_seg(
+        0xC0,
+        _s.pack(">BHHB", 8, 16, 16, 3) + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    sos = _jpeg_seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    # bits: Y1: 110 10000 1010 | Y2-4: 00 1010 | Cb: 00 00 | Cr: 00 00
+    bits = "110100001010" + "001010" * 3 + "0000" + "0000"
+    bits += "1" * (-len(bits) % 8)
+    scan = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    out = C.decode_jpeg(b"\xff\xd8" + dqt + sof + dht + sos + scan + b"\xff\xd9")
+    assert out.shape == (16, 16, 3) and (out == 160).all()
+
+
+def test_jpeg_rejects_progressive_and_sniffs():
+    struct, dqt, dht = _jpeg_tables_gray()
+    sof2 = _jpeg_seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError):
+        C.decode_jpeg(b"\xff\xd8" + dqt + sof2 + b"\xff\xd9")
+    img = np.full((8, 8, 3), 100, dtype=np.uint8)
+    assert C.sniff(C.encode_jpeg(img)) == "jpeg"
+    # a JPEG payload now decodes FOR REAL through the tiered dispatch
+    from borges_spark.operators.multimodal import _decode_image
+
+    f = _decode_image(C.encode_jpeg(np.full((6, 9, 3), 44, dtype=np.uint8)))
+    assert f[:4] == [9.0, 6.0, 44.0, 0.0]
