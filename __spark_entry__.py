@@ -830,12 +830,13 @@ WITH norm AS (
   SELECT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
   FROM norm, range(1, 2000) i
   WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
-), perms AS (
-  SELECT doc_id, sh, p.range AS perm FROM sh, range(0, {X.MINHASH_PERMS}) p
+), xs AS (
+  SELECT doc_id, {X.hash60_sql("sh")} % {X.MINHASH_X_MOD} AS x FROM sh
 )
-SELECT doc_id, CAST(perm AS INT) AS perm,
-       min({X.hash60_sql("CAST(perm AS VARCHAR) || ':' || sh")}) AS minhash
-FROM perms GROUP BY doc_id, perm
+SELECT doc_id, CAST(p.perm AS INT) AS perm,
+       min((p.a * xs.x + p.b) % {X.MINHASH_P}) AS minhash
+FROM xs, (VALUES {X.minhash_values_sql()}) p(perm, a, b)
+GROUP BY doc_id, p.perm
 """
 
 
@@ -854,26 +855,31 @@ def q_minhash_lsh_fast_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, hash_mode="fast")
 
 
-def _minhash_pairs_naive(docs: DataFrame, hash_mode: str) -> DataFrame:
+def _minhash_pairs_naive(docs: DataFrame) -> DataFrame:
     """Independent NAIVE formulation of the banded-minhash spec — the
     textbook long-form plan (explode shingles x perms, min per
     (doc, perm), band hash over a sorted collect) with none of the
     production path's one-pass-wide/no-collect optimizations. Exists
-    only as the comparison arm of the q_minhash_lsh_fast diff gate."""
-    from borges_spark.functions.text import MINHASH_PERMS, pick_hash60
-    from borges_spark.operators.dedup import shingles_col
+    only as the comparison arm of the q_minhash_lsh_fast diff gate.
+    SCOPE (like the e2e gates' shared parser): both arms consume the
+    same shingle-hash primitive (shingle_hash_frame) and the same
+    per-(perm, shingle) hash definition; what the gate proves is the
+    equivalence of the PLANS built on top of them."""
+    from borges_spark.functions.text import MINHASH_PERMS
+    from borges_spark.operators.dedup import shingle_hash_frame
 
-    h60 = pick_hash60(hash_mode)
     docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
-    ex = docs.select("doc_id", F.explode(shingles_col(F.col("text"))).alias("sh"))
+    ex = shingle_hash_frame(docs).select("doc_id", F.explode("hs").alias("sh"))
     perms = ex.select(
         "doc_id", "sh",
-        F.explode(F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1))).alias("perm"),
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), F.lit(MINHASH_PERMS - 1).cast("int"))
+        ).alias("perm"),
     )
     sig = (
         perms.select(
             "doc_id", "perm",
-            h60(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("sh"))).alias("h"),
+            F.shiftrightunsigned(F.xxhash64(F.col("perm"), F.col("sh")), 4).alias("h"),
         )
         .groupBy("doc_id", "perm")
         .agg(F.min("h").alias("minhash"))
@@ -912,7 +918,7 @@ def q_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-implementation equivalence a driver-visible value gate."""
     docs = _t(spark, sf_dir, "documents")
     fast = D.minhash_lsh_pairs(docs, hash_mode="fast")
-    naive = _minhash_pairs_naive(docs, hash_mode="fast")
+    naive = _minhash_pairs_naive(docs)
     return fast.exceptAll(naive).unionByName(naive.exceptAll(fast))
 
 
@@ -978,12 +984,13 @@ WITH norm AS (
   SELECT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
   FROM norm, range(1, 2000) i
   WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
-), perms AS (
-  SELECT doc_id, sh, p.range AS perm FROM sh, range(0, {X.MINHASH_PERMS}) p
+), xs AS (
+  SELECT doc_id, {X.hash60_sql("sh")} % {X.MINHASH_X_MOD} AS x FROM sh
 ), sig AS (
-  SELECT doc_id, CAST(perm AS INT) AS perm,
-         min({X.hash60_sql("CAST(perm AS VARCHAR) || ':' || sh")}) AS minhash
-  FROM perms GROUP BY doc_id, perm
+  SELECT doc_id, CAST(p.perm AS INT) AS perm,
+         min((p.a * xs.x + p.b) % {X.MINHASH_P}) AS minhash
+  FROM xs, (VALUES {X.minhash_values_sql()}) p(perm, a, b)
+  GROUP BY doc_id, p.perm
 ), bands AS (
   SELECT doc_id, perm // 2 AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash
@@ -1106,12 +1113,13 @@ WITH RECURSIVE norm AS (
   SELECT doc_id, substr(nt, CAST(i.range AS INT), {X.SHINGLE_LEN}) AS sh
   FROM norm, range(1, 2000) i
   WHERE i.range <= greatest(length(nt) - {X.SHINGLE_LEN - 1}, 1)
-), perms AS (
-  SELECT doc_id, sh, p.range AS perm FROM sh, range(0, {X.MINHASH_PERMS}) p
+), xs AS (
+  SELECT doc_id, {X.hash60_sql("sh")} % {X.MINHASH_X_MOD} AS x FROM sh
 ), sig AS (
-  SELECT doc_id, CAST(perm AS INT) AS perm,
-         min({X.hash60_sql("CAST(perm AS VARCHAR) || ':' || sh")}) AS minhash
-  FROM perms GROUP BY doc_id, perm
+  SELECT doc_id, CAST(p.perm AS INT) AS perm,
+         min((p.a * xs.x + p.b) % {X.MINHASH_P}) AS minhash
+  FROM xs, (VALUES {X.minhash_values_sql()}) p(perm, a, b)
+  GROUP BY doc_id, p.perm
 ), bands AS (
   SELECT doc_id, perm // 2 AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY perm)) AS band_hash

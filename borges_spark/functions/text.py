@@ -107,6 +107,40 @@ def hash60_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# MinHash affine permutation family (oracle path)
+#
+# h_i(x) = (a_i * x + b_i) mod p over ONE base hash x per shingle — the
+# textbook universal-hashing minhash family. One md5 per shingle instead
+# of one per (shingle x perm): ~n_perms x cheaper on BOTH engines while
+# staying exactly reproducible in ANSI SQL. Widths are chosen so every
+# intermediate fits a signed 64-bit integer in every engine:
+# x < 2^30, a < p < 2^31 => a*x + b < 2^61.
+
+MINHASH_P = (1 << 31) - 1  # Mersenne prime modulus
+MINHASH_X_MOD = 1 << 30  # base-hash truncation
+
+
+def minhash_perm_consts(n_perms: int = MINHASH_PERMS) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs — fixed odd multipliers spread by
+    the Knuth/xxhash mixing constants; a_i is never 0 mod p."""
+    out = []
+    for i in range(n_perms):
+        a = (0x9E3779B1 * (i + 1)) % MINHASH_P
+        b = (0x85EBCA6B * (i + 1)) % MINHASH_P
+        out.append((a or 1, b))
+    return out
+
+
+def minhash_values_sql(n_perms: int = MINHASH_PERMS) -> str:
+    """The family as a SQL VALUES list '(perm, a, b), ...' so the DuckDB
+    oracle derives from the same Python constant table as the Spark
+    plan (single source of truth)."""
+    return ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_perm_consts(n_perms))
+    )
+
+
+# ---------------------------------------------------------------------------
 # token counting (whitespace + a BPE-ish word/punct split)
 
 def token_count_col(c: Column) -> Column:

@@ -152,25 +152,50 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int,
     """(id, h0..h{n-1}) — all n permutation minima in ONE pass over the
     shingle rows: n hash columns per row, n min-aggregates map-side
     combined. Avoids the naive perm-explode that multiplies the shuffle
-    by n_perms."""
-    from borges_spark.functions.text import pick_hash60
+    by n_perms.
 
-    h60 = pick_hash60(hash_mode)
+    Permutations are the universal affine family h_i(x) = (a_i*x + b_i)
+    mod p over ONE base hash x per shingle (not one strong hash per
+    (shingle, perm) — r4's shape, which paid n_perms md5/xxhash string
+    passes per shingle row):
+
+      'oracle' — x = md5-60bit(shingle string) mod 2^30, p = 2^31-1;
+        every intermediate fits int64, so the DuckDB oracle reproduces
+        it exactly from the same (a_i, b_i) constant table.
+      'fast' — deployment path: vectorized rolling-hash shingles
+        (shingle_hash_frame, LONG values), x spread per perm by one
+        codegen'd xxhash64(perm, shingle) — no string concat per perm.
+    """
+    from borges_spark.functions.text import (
+        MINHASH_P,
+        MINHASH_X_MOD,
+        hash60_col,
+        minhash_perm_consts,
+    )
+
     # spread docs across the cluster BEFORE the ~2000x shingle explode:
     # a single-row-group parquet source would otherwise pin the whole
     # explode+hash stage (the dominant cost) onto one task
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
-    )
-    hashed = ex.select(
-        id_col,
-        *[
-            h60(F.concat(F.lit(f"{i}:"), F.col("sh"))).alias(f"h{i}")
+    if hash_mode == "fast":
+        ex = shingle_hash_frame(docs, text_col, id_col).select(
+            F.col(id_col), F.explode("hs").alias("sh")
+        )
+        hcols = [
+            F.shiftrightunsigned(F.xxhash64(F.lit(i).cast("int"), F.col("sh")), 4).alias(f"h{i}")
             for i in range(n_perms)
-        ],
-    )
+        ]
+    else:
+        ex = docs.select(
+            F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
+        )
+        x = hash60_col(F.col("sh")) % F.lit(MINHASH_X_MOD)
+        hcols = [
+            ((x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_perm_consts(n_perms))
+        ]
+    hashed = ex.select(id_col, *hcols)
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_perms)]
     )
