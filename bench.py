@@ -134,11 +134,23 @@ def leg_crawl(cores: int, web_root: str) -> None:
         m = engine.metrics().agg(
             F.sum("scheduled").alias("s"), F.sum("parsed").alias("p")
         ).collect()[0]
+        # bytes the round pushed through encode+bus into the store (all
+        # four committed datasets) — the copy-bound half's footprint;
+        # this is the before/after statistic for codec A/Bs
+        store_bytes = 0
+        for dirpath, _dirs, files in os.walk(store_root):
+            for fn in files:
+                try:
+                    store_bytes += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
         out = {
             "wall_s": round(wall, 2),
             "scheduled": int(m["s"]),
             "parsed": int(m["p"]),
             "urls_per_s": round((int(m["s"]) + int(m["p"])) / wall, 1),
+            "store_bytes": store_bytes,
+            "codec": os.environ.get("BORGES_SNAPSHOT_CODEC", "zstd"),
         }
         if os.environ.get("BORGES_BENCH_PHASES"):
             out["load_s"] = res.get("load_s")
@@ -435,6 +447,8 @@ def main() -> None:
             "wall_high_s": crawl_high["wall_s"],
             "scheduled": crawl_high["scheduled"],
             "parsed": crawl_high["parsed"],
+            "store_bytes_per_round": crawl_high.get("store_bytes"),
+            "snapshot_codec": crawl_high.get("codec"),
             "crawl_samples": {
                 "low": [c["urls_per_s"] for c in crawl_lows],
                 "high": [c["urls_per_s"] for c in crawl_highs],

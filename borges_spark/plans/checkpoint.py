@@ -66,8 +66,14 @@ class SnapshotStore:
     # Snapshot parquet codec (overridable for A/B via env): snapshots
     # are hot engine state rewritten every round, so the choice trades
     # encoder CPU (scales with cores) against bytes through the shared
-    # memory bus / shuffle volume (does not scale on one box).
-    _codec = os.environ.get("BORGES_SNAPSHOT_CODEC", "snappy")
+    # memory bus / shuffle volume (does not scale on one box). zstd
+    # default is measured, not assumed: the round-5 A/B (2 reps, both
+    # arms, same generated web) had zstd beating snappy on BOTH arms —
+    # 2-core 8.1-9.1k vs 7.5-7.6k urls/s, 8-core 20.8-21.4k vs
+    # 16.1-19.0k — because the crawl_log/frontier encode is exactly the
+    # copy-bound half of the round: fewer bytes through the bus beats
+    # the extra encoder CPU, which the parallel arm absorbs anyway.
+    _codec = os.environ.get("BORGES_SNAPSHOT_CODEC", "zstd")
 
     def write_dataset(self, round_no: int, name: str, df: DataFrame) -> float:
         """Write one dataset of a round (no commit). Returns seconds."""

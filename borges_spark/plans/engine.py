@@ -66,17 +66,22 @@ from borges_spark.plans.checkpoint import SnapshotStore
 def _ckpt_storage_level():
     """Storage level for the per-round frontier localCheckpoint.
 
-    PySpark's MEMORY_AND_DISK stores SERIALIZED blocks (unlike Scala's
-    deserialized default) — for the frontier's UnsafeRow blocks that
-    halves the copy the checkpoint streams through the memory bus each
-    round. Env-overridable (BORGES_CKPT_DESER=1) for A/B measurement."""
+    DESERIALIZED (Scala's localCheckpoint default) — measured, not
+    assumed: PySpark's MEMORY_AND_DISK (serialized) looked like a
+    bytes-halving win for the copy-bound half, but the checkpointed
+    frontier is READ several times per round (next round's selection,
+    the background frontier snapshot write, metrics), and paying the
+    deserialization on every read cost the 8-core arm ~20% urls/s in
+    the round-5 A/B (22.6k deser vs 18.1k ser) while the 2-core arm
+    barely moved — exactly the wrong direction for N->4N scaling.
+    Env-overridable (BORGES_CKPT_SER=1) to re-run that A/B."""
     import os
 
     from pyspark import StorageLevel
 
-    if os.environ.get("BORGES_CKPT_DESER"):
-        return StorageLevel.MEMORY_AND_DISK_DESER
-    return StorageLevel.MEMORY_AND_DISK
+    if os.environ.get("BORGES_CKPT_SER"):
+        return StorageLevel.MEMORY_AND_DISK
+    return StorageLevel.MEMORY_AND_DISK_DESER
 
 
 @dataclass(frozen=True)
