@@ -1097,6 +1097,79 @@ WHERE n_inter * 10 >= (sa.sz + sb.sz - n_inter) * 8
 """
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup at 8-token window granularity (Lee et al.
+    2022's duplicated training-data spans, Spark-native): maximal spans
+    of windows whose normalized token sequence occurs >= 2 times in the
+    corpus. Oracle hash mode — windows keyed by md5 of the joined token
+    string, value-exact vs DuckDB. Reference dedup analog:
+    Borges/db_scripts/insert_jl.py:28-38 (doc-level keyed probe; this
+    extends it to within-doc span granularity for corpus construction)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, hash_mode="oracle")
+
+
+_SUBSTRING_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ts
+  FROM documents
+), idx AS (
+  SELECT doc_id, ts, unnest(range(1, len(ts) - {D.SPAN_WINDOW} + 2)) AS i
+  FROM toks WHERE len(ts) >= {D.SPAN_WINDOW}
+), wins AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(list_slice(ts, CAST(i AS INT), CAST(i + {D.SPAN_WINDOW - 1} AS INT)), ' ')) AS win
+  FROM idx
+), dups AS (
+  SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+), hits AS (
+  SELECT w.doc_id, w.pos FROM wins w SEMI JOIN dups d ON w.win = d.win
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {D.SPAN_WINDOW}
+              THEN 0 ELSE 1 END AS brk
+  FROM hits
+), islands AS (
+  SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM marked
+)
+SELECT doc_id, min(pos) AS span_start,
+       max(pos) + {D.SPAN_WINDOW} - 1 AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM islands GROUP BY doc_id, isl
+"""
+
+
+def q_substring_dedup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production hash path: same span plan, windows keyed by the
+    vectorized 64-bit rolling hash over per-token crc64 (mapInPandas,
+    no string windows ever materialize). DuckDB has no equivalent hash,
+    so the raw form has no SQL oracle — bench.py times it directly; the
+    DRIVER gate is q_substring_dedup_fast's cross-hash diff below."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.duplicated_spans(docs, hash_mode="fast")
+
+
+def q_substring_dedup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-hash substring dedup, driver-gated EXACTLY: symmetric
+    difference between the rolling-hash span set and the md5
+    string-window span set (same tokenization, independent window keys
+    AND independent window production — numpy mapInPandas vs JVM
+    higher-order expressions). Must return ZERO rows."""
+    docs = _t(spark, sf_dir, "documents")
+    fast = D.duplicated_spans(docs, hash_mode="fast")
+    oracle = D.duplicated_spans(docs, hash_mode="oracle")
+    return fast.exceptAll(oracle).unionByName(oracle.exceptAll(fast))
+
+
+_SPAN_DIFF_SQL = """
+SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS span_start,
+       CAST(NULL AS BIGINT) AS span_end, CAST(NULL AS BIGINT) AS n_windows
+WHERE FALSE
+"""
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash-LSH candidate edges: each doc
     labeled with the min reachable doc_id (iterative label propagation
@@ -1821,6 +1894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_fast": q_minhash_lsh_fast,
         "simhash_fast": q_simhash_fast,
         "ngram_jaccard": q_ngram_jaccard,
+        "substring_dedup": q_substring_dedup,
+        "substring_dedup_fast": q_substring_dedup_fast,
         "dup_groups": q_dup_groups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1884,6 +1959,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _MINHASH_PAIRS_SQL,
         "minhash_lsh_fast": _PAIR_DIFF_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "substring_dedup": _SUBSTRING_DEDUP_SQL,
+        "substring_dedup_fast": _SPAN_DIFF_SQL,
         "dup_groups": _DUP_GROUPS_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_bruteforce": _ANN_BF_SQL,

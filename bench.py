@@ -63,6 +63,7 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "minhash_lsh_fast",
     "ngram_jaccard",
+    "substring_dedup_fast",
     "random_sample",
     "embedding_neardup",
     "ann_bruteforce",
@@ -210,6 +211,7 @@ def leg_headline() -> None:
         **E.queries(),
         "minhash_lsh_fast": E.q_minhash_lsh_fast_raw,
         "simhash_fast": E.q_simhash_fast_raw,
+        "substring_dedup_fast": E.q_substring_dedup_raw,
     }
     # warm the JVM/codegen/scan path AND a Python/Arrow worker before
     # timing: the first query in a cold session otherwise pays ~2-3 s

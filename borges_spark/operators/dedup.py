@@ -542,3 +542,166 @@ def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding", id_col: 
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated spans, Lee et al. 2022 style)
+
+
+SPAN_WINDOW = 8  # tokens per duplicate-detection window
+
+
+def _token_window_hashes(text: str | None, w: int):
+    """64-bit hashes of every w-TOKEN window of the normalized text,
+    position-preserving (no dedup — spans need positions), fully
+    vectorized past the per-token crc: two independent crc32 passes
+    (forward + reversed bytes, so a collision needs both 32-bit spaces
+    to collide) build a 64-bit token hash, a splitmix64 finalizer
+    decorrelates it, and the window hash is w shifted multiply-adds
+    over the token-hash array — the token-level analog of
+    _rolling_hash_doc. Returns uint64 array of n_tokens - w + 1 window
+    hashes (empty when the doc is shorter than w tokens), None for a
+    null text."""
+    import zlib
+
+    import numpy as np
+
+    if text is None:
+        return None
+    toks = text.lower().split()
+    n = len(toks)
+    if n < w:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode() for t in toks]
+    th = np.fromiter((zlib.crc32(e) for e in enc), dtype=np.uint64, count=n)
+    th |= np.fromiter((zlib.crc32(e[::-1]) for e in enc), dtype=np.uint64, count=n) << np.uint64(32)
+    th ^= th >> np.uint64(30)
+    th *= np.uint64(0xBF58476D1CE4E5B9)
+    th ^= th >> np.uint64(27)
+    th *= np.uint64(0x94D049BB133111EB)
+    th ^= th >> np.uint64(31)
+    m = n - w + 1
+    base = np.uint64(_POLY_BASE)
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        h = h * base + th[j : m + j]
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def window_hash_frame(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", w: int = SPAN_WINDOW) -> DataFrame:
+    """(id, pos, win) — one row per w-token window, pos 1-based in token
+    index. The production window-hash pass: mapInPandas + numpy
+    (embarrassingly parallel, Arrow-batched, no shuffle), exploded in
+    the worker so the JVM never materializes a per-doc window array."""
+    out_schema = f"{id_col} bigint, pos bigint, win bigint"
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, poss, wins = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                h = _token_window_hashes(t, w)
+                if h is None or len(h) == 0:
+                    continue
+                ids.append(np.full(len(h), i, dtype=np.int64))
+                poss.append(np.arange(1, len(h) + 1, dtype=np.int64))
+                wins.append(h.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "win": np.concatenate(wins),
+                    }
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def duplicated_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                     w: int = SPAN_WINDOW, hash_mode: str = "fast") -> DataFrame:
+    """Exact substring dedup at w-token granularity (the training-data
+    dedup of Lee et al., 'Deduplicating Training Data Makes Language
+    Models Better', ACL 2022 — suffix-array duplicate spans, re-expressed
+    as the Spark-native windowed equivalent): a token window is
+    DUPLICATED when its normalized w-token sequence occurs >= 2 times
+    anywhere in the corpus (any doc, including within one doc);
+    overlapping/adjacent duplicated windows merge into maximal spans.
+
+    Returns (id, span_start, span_end, n_windows): 1-based inclusive
+    TOKEN indexes of each maximal duplicated span and the number of
+    duplicated windows it merged. Downstream removal is a per-doc token
+    filter over these spans.
+
+    Plan shape, 100-TB reading: the window pass is stateless and
+    shuffle-free (fast mode: vectorized rolling hash over per-token
+    crc64, mapInPandas); duplicate detection is ONE map-side-combinable
+    count shuffle over (win) keys; the join back to positions is an
+    equi-join on the same key (no collect_list — a boilerplate window
+    duplicated 10^6 times stays as rows, never as one aggregation
+    buffer); span merge is a per-doc sort bounded by doc length
+    (gaps-and-islands over lag + running sum). Nothing is quadratic;
+    no all-pairs set ever materializes.
+
+    hash_mode 'oracle' groups windows by md5 of the joined token string
+    (DuckDB-exact, interpreted higher-order expressions — correctness
+    path); 'fast' groups by the 64-bit rolling hash (production path,
+    identical spans barring ~2^-64-scale collisions — driver-gated by
+    the substring_dedup_fast exact diff)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    # parallelize past the source's row-group granularity (see _minhash_wide)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
+    if hash_mode == "oracle":
+        # filter-empty after the split (not trim before): python .split()
+        # drops empty tokens wherever whitespace lands, so all three
+        # implementations (this, the fast path, DuckDB) agree on token
+        # POSITIONS for any leading/trailing whitespace class
+        toks = docs.select(
+            F.col(id_col),
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            ).alias("ts"),
+        ).filter(F.size("ts") >= w)
+        win_expr = F.expr(
+            f"transform(sequence(1, size(ts) - {w} + 1), "
+            f"i -> struct(CAST(i AS BIGINT) AS pos, md5(array_join(slice(ts, i, {w}), ' ')) AS win))"
+        )
+        wins = toks.select(F.col(id_col), F.explode(win_expr).alias("pw")).select(
+            id_col, F.col("pw.pos").alias("pos"), F.col("pw.win").alias("win")
+        )
+    else:
+        wins = window_hash_frame(docs, text_col, id_col, w)
+    # consumed by both the df count and the position join: one
+    # materialization (depth-2 linear plan — persist, not checkpoint,
+    # same reasoning as ngram_jaccard_pairs)
+    wins = wins.persist()
+    dup_keys = (
+        wins.groupBy("win").agg(F.count("*").alias("df")).filter(F.col("df") >= 2).select("win")
+    )
+    hits = wins.join(dup_keys, "win").select(id_col, "pos")
+    by_doc = Window.partitionBy(id_col).orderBy("pos")
+    # gaps-and-islands: a window extends the current span when it starts
+    # within w tokens of the previous duplicated window (overlap OR
+    # adjacency); lag is NULL on each doc's first window -> new island
+    marked = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= w, F.lit(0)).otherwise(F.lit(1)),
+    )
+    islands = marked.withColumn("isl", F.sum("brk").over(by_doc))
+    return (
+        islands.groupBy(id_col, "isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + w - 1).alias("span_end"),
+            F.count("*").alias("n_windows"),
+        )
+        .select(id_col, "span_start", "span_end", "n_windows")
+    )

@@ -145,3 +145,70 @@ def test_fast_hash_mode_same_verified_pairs(spark):
             for r in D.simhash_neardup_pairs(docs, hash_mode=mode).collect()
         }
         assert sh == expected, f"simhash pairs under {mode}: {sh}"
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (duplicated spans)
+
+
+def _spans(df):
+    return {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("mode", ["oracle", "fast"])
+def test_substring_dedup_spans(spark, docs, mode):
+    """BASE is 14 tokens; docs 0/1/2 normalize to identical token
+    sequences (full span), doc 3 differs only in the last token (its
+    last window is unique), docs 4/5 are an 11-token pair differing in
+    the last token, doc 6 is shorter than the window."""
+    out = _spans(D.duplicated_spans(docs, w=8, hash_mode=mode))
+    assert (0, 1, 14, 7) in out and (1, 1, 14, 7) in out and (2, 1, 14, 7) in out
+    # doc 3: windows 1-6 shared with BASE (window 7 contains 'tonight')
+    assert (3, 1, 13, 6) in out
+    # docs 4/5: windows 1-3 shared (window 4 contains arrow vs arrows)
+    assert (4, 1, 10, 3) in out and (5, 1, 10, 3) in out
+    assert not any(t[0] == 6 for t in out)
+    assert len(out) == 6
+
+
+@pytest.mark.parametrize("mode", ["oracle", "fast"])
+def test_substring_dedup_within_doc_repeat(spark, mode):
+    """A single doc repeating an 8-token run with a >w gap duplicates
+    its own windows: two separate spans, no other doc involved."""
+    run = "a b c d e f g h"
+    doc = f"{run} x1 x2 x3 x4 x5 x6 x7 x8 x9 {run}"
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    out = _spans(D.duplicated_spans(df, w=8, hash_mode=mode))
+    assert out == {(0, 1, 8, 1), (0, 18, 25, 1)}
+
+
+@pytest.mark.parametrize("mode", ["oracle", "fast"])
+def test_substring_dedup_adjacent_windows_merge(spark, mode):
+    """A shared 16-token run produces 9 overlapping duplicated windows
+    that merge into ONE maximal span per doc."""
+    run = " ".join(f"t{i}" for i in range(16))
+    df = spark.createDataFrame(
+        [(0, run + " uniqueleft"), (1, "uniqueright " + run)],
+        "doc_id long, text string",
+    )
+    out = _spans(D.duplicated_spans(df, w=8, hash_mode=mode))
+    assert out == {(0, 1, 16, 9), (1, 2, 17, 9)}
+
+
+def test_substring_dedup_null_short_and_whitespace(spark):
+    """Null text, sub-window docs, and leading/odd whitespace never
+    produce spans or break tokenization parity across modes."""
+    rows = [
+        (0, None),
+        (1, "too short"),
+        (2, "\t  the quick brown fox jumps over the lazy dog near the river bank today"),
+        (3, "the quick brown fox jumps over the lazy dog near the river bank today\n"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for mode in ("oracle", "fast"):
+        out = _spans(D.duplicated_spans(df, w=8, hash_mode=mode))
+        # docs 2 and 3 tokenize to the same 14 tokens despite the \t/\n
+        assert out == {(2, 1, 14, 7), (3, 1, 14, 7)}, mode
