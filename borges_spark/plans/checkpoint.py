@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 # below provides the same commit/resume semantics.
 _HAVE_ICEBERG = False
 
+# Full-state-per-round datasets vs per-round increments: a time-travel
+# read resolves a SNAPSHOT dataset from exactly one committed round and
+# an APPEND dataset as the union of every committed increment <= the
+# target round. Snapshot datasets of superseded rounds are the only
+# files expire_snapshots may reclaim (the Iceberg unreferenced-file
+# rule: an append increment stays referenced by every later as-of read).
+SNAPSHOT_DATASETS = frozenset({"frontier", "seen_shards"})
+
 
 class SnapshotStore:
     """frontier_buckets: when set (the default), the frontier dataset is
@@ -195,6 +203,121 @@ class SnapshotStore:
                 )
             return spark.table(tbl)
         return spark.read.parquet(path)
+
+    # -- time travel / snapshot management -------------------------------
+    # The Iceberg snapshot surface (snapshots metadata table, VERSION AS
+    # OF reads, rollback, expire_snapshots) re-expressed over the
+    # manifest protocol. Reference checkpoint analog:
+    # Borges/db_scripts/mongo2pickle.py:5-34 (pickled frontier snapshots
+    # — point-in-time state the scripts re-read); these APIs make every
+    # committed round such a point, queryable and reclaimable.
+
+    def snapshots(self) -> list[dict]:
+        """Committed snapshot metadata, oldest first — the `snapshots`
+        metadata-table analog: one manifest dict per committed round
+        (round, datasets, committed_at, frontier_buckets, expired,
+        meta)."""
+        return [self.manifest(r) for r in self.rounds()]
+
+    def read_as_of(self, spark: SparkSession, name: str, round_no: int) -> DataFrame:
+        """Time-travel read (`VERSION AS OF round_no`): the dataset as
+        of a committed round. Snapshot datasets (frontier, seen_shards)
+        resolve to the newest committed copy at or before round_no;
+        append datasets (crawl_log, metrics, ...) resolve to the union
+        of every committed increment <= round_no — one multi-path
+        parquet scan, not a union of plans."""
+        latest = self.latest_round()
+        if latest is None or round_no > latest:
+            raise ValueError(
+                f"round {round_no} is not committed (latest: {latest})"
+            )
+        carrying = [
+            r for r in self.rounds()
+            if r <= round_no and name in self.manifest(r).get("datasets", [])
+        ]
+        if not carrying:
+            raise ValueError(
+                f"no committed '{name}' at or before round {round_no}"
+            )
+        if name in SNAPSHOT_DATASETS:
+            rno = max(carrying)
+            if name in self.manifest(rno).get("expired", []):
+                raise ValueError(
+                    f"'{name}' snapshot of round {rno} was expired; "
+                    f"re-run expire_snapshots with a deeper keep_last "
+                    f"horizon before it is reclaimed to keep this round "
+                    f"time-travelable"
+                )
+            return self.read(spark, rno, name)
+        live = [
+            r for r in carrying if name not in self.manifest(r).get("expired", [])
+        ]
+        if not live:
+            raise ValueError(f"every '{name}' increment <= round {round_no} was expired")
+        return spark.read.parquet(
+            *[os.path.join(self._round_dir(r), name) for r in live]
+        )
+
+    def rollback(self, round_no: int, spark: SparkSession | None = None) -> None:
+        """Roll the store back to a committed round (Iceberg rollback
+        analog): the LATEST pointer moves to round_no via the same
+        atomic tmp+rename as a commit, later rounds become uncommitted
+        and are GC'd, and their catalog tables are deregistered when a
+        session is supplied. A subsequent engine run(resume=True)
+        continues from round_no exactly as if later rounds never ran
+        (determinism makes the re-crawl bit-identical)."""
+        if round_no not in self.rounds():
+            raise ValueError(f"round {round_no} is not a committed snapshot")
+        later = [r for r in self.rounds() if r > round_no]
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(round_no))
+        os.replace(tmp, self._latest_path())
+        if spark is not None:
+            for r in later:
+                spark.sql(f"DROP TABLE IF EXISTS {self._frontier_table(r)}")
+        self.gc_uncommitted()
+
+    def expire_snapshots(self, keep_last: int = 1,
+                         spark: SparkSession | None = None) -> list[int]:
+        """Reclaim superseded full-state snapshot datasets, keeping the
+        newest keep_last rounds fully time-travelable (expire_snapshots
+        analog). Only SNAPSHOT_DATASETS files are deleted — append
+        increments stay referenced by every later as-of read and are
+        never reclaimed, so crawl_log/metrics history survives at any
+        expiry horizon. Expired rounds keep their manifest with the
+        reclaimed names recorded under 'expired' (tmp+rename, crash
+        safe), so a time-travel read of a reclaimed snapshot fails with
+        a clear error instead of a missing-file scan. Returns the
+        rounds whose snapshots were reclaimed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the resume point itself)")
+        rounds = self.rounds()
+        keep = set(rounds[-keep_last:])
+        expired_rounds: list[int] = []
+        for r in rounds:
+            if r in keep:
+                continue
+            man = self.manifest(r)
+            exp = set(man.get("expired", []))
+            todo = [
+                n for n in man.get("datasets", [])
+                if n in SNAPSHOT_DATASETS and n not in exp
+            ]
+            if not todo:
+                continue
+            for n in todo:
+                if n == "frontier" and spark is not None:
+                    spark.sql(f"DROP TABLE IF EXISTS {self._frontier_table(r)}")
+                shutil.rmtree(os.path.join(self._round_dir(r), n), ignore_errors=True)
+                exp.add(n)
+            man["expired"] = sorted(exp)
+            mpath = os.path.join(self._round_dir(r), "manifest.json")
+            with open(mpath + ".tmp", "w") as f:
+                json.dump(man, f)
+            os.replace(mpath + ".tmp", mpath)
+            expired_rounds.append(r)
+        return expired_rounds
 
     def gc_uncommitted(self) -> None:
         """Drop data for rounds after the last committed snapshot."""
