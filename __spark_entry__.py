@@ -1109,8 +1109,11 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(docs, hash_mode="oracle")
 
 
-_SUBSTRING_DEDUP_SQL = f"""
-WITH toks AS (
+# shared CTE chain: normalized tokens -> w-token md5 windows -> windows
+# occurring >= 2x anywhere -> gaps-and-islands grouping of duplicated
+# positions; both span-level and clean-text oracles select from it
+_SPAN_CTES = f"""
+toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ts
   FROM documents
@@ -1133,7 +1136,10 @@ WITH toks AS (
 ), islands AS (
   SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
   FROM marked
-)
+)"""
+
+_SUBSTRING_DEDUP_SQL = f"""
+WITH {_SPAN_CTES}
 SELECT doc_id, min(pos) AS span_start,
        max(pos) + {D.SPAN_WINDOW} - 1 AS span_end,
        CAST(count(*) AS BIGINT) AS n_windows
@@ -1167,6 +1173,42 @@ _SPAN_DIFF_SQL = """
 SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS span_start,
        CAST(NULL AS BIGINT) AS span_end, CAST(NULL AS BIGINT) AS n_windows
 WHERE FALSE
+"""
+
+
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaned corpus — ExactSubstr removal applied: every token
+    covered by a duplicated span removed from every occurrence, kept
+    tokens rejoined. Doc-level output (doc_id, clean_text, n_removed),
+    value-exact vs DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.remove_duplicated_spans(docs, hash_mode="oracle")
+
+
+_SUBSTRING_CLEAN_SQL = f"""
+WITH {_SPAN_CTES}, spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {D.SPAN_WINDOW} - 1 AS span_end
+  FROM islands GROUP BY doc_id, isl
+), tok_rows AS (
+  SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS i
+  FROM toks
+), kept AS (
+  SELECT t.doc_id, t.tok, t.i
+  FROM tok_rows t
+  ANTI JOIN spans s
+    ON t.doc_id = s.doc_id AND t.i >= s.span_start AND t.i <= s.span_end
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.clean_text, '') END AS clean_text,
+       CAST(CASE WHEN d.text IS NULL THEN 0
+                 ELSE coalesce(len(t.ts), 0) - coalesce(a.n_kept, 0) END AS BIGINT) AS n_removed
+FROM documents d
+LEFT JOIN toks t USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
 """
 
 
@@ -1896,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "substring_dedup": q_substring_dedup,
         "substring_dedup_fast": q_substring_dedup_fast,
+        "substring_dedup_clean": q_substring_dedup_clean,
         "dup_groups": q_dup_groups,
         "embedding_neardup": q_embedding_neardup,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1961,6 +2004,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
         "substring_dedup": _SUBSTRING_DEDUP_SQL,
         "substring_dedup_fast": _SPAN_DIFF_SQL,
+        "substring_dedup_clean": _SUBSTRING_CLEAN_SQL,
         "dup_groups": _DUP_GROUPS_SQL,
         "embedding_neardup": _EMB_NEARDUP_SQL,
         "ann_bruteforce": _ANN_BF_SQL,

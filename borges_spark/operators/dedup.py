@@ -705,3 +705,49 @@ def duplicated_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc
         )
         .select(id_col, "span_start", "span_end", "n_windows")
     )
+
+
+def remove_duplicated_spans(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                            w: int = SPAN_WINDOW, hash_mode: str = "fast") -> DataFrame:
+    """The cleaned corpus: every token covered by a duplicated span
+    (duplicated_spans above) is removed from every document it appears
+    in — Lee et al. 2022's ExactSubstr removal policy, where the
+    duplicated text is cut from each occurrence. Returns
+    (id, clean_text, n_removed): clean_text is the kept tokens rejoined
+    with single spaces (removal operates in normalized token space —
+    lowercased, whitespace-collapsed, like every dedup operator here),
+    n_removed the count of removed tokens. Null text stays null with
+    n_removed 0; a fully-duplicated doc comes back as ''.
+
+    Plan shape: duplicated_spans' bounded span table is collected
+    per-doc into an array (bounded by doc length / w, not corpus size),
+    LEFT-joined to the docs, and the removal is ONE in-row nested
+    higher-order filter — no token explosion, no second shuffle beyond
+    the span join itself."""
+    spans = duplicated_spans(docs, text_col, id_col, w, hash_mode)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("spans")
+    )
+    ts = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toked = docs.select(F.col(id_col), F.col(text_col), ts.alias("ts"))
+    joined = toked.join(per_doc, id_col, "left")
+    kept = F.filter(
+        F.col("ts"),
+        lambda t, i: ~F.exists(
+            F.col("spans"),
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    clean = F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(F.col("spans").isNull(), F.array_join("ts", " ")).otherwise(
+            F.array_join(kept, " ")
+        )
+    )
+    n_removed = F.when(
+        F.col(text_col).isNull() | F.col("spans").isNull(), F.lit(0)
+    ).otherwise(F.size("ts") - F.size(kept))
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n_removed.cast("long").alias("n_removed"),
+    )

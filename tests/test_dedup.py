@@ -212,3 +212,35 @@ def test_substring_dedup_null_short_and_whitespace(spark):
         out = _spans(D.duplicated_spans(df, w=8, hash_mode=mode))
         # docs 2 and 3 tokenize to the same 14 tokens despite the \t/\n
         assert out == {(2, 1, 14, 7), (3, 1, 14, 7)}, mode
+
+
+@pytest.mark.parametrize("mode", ["oracle", "fast"])
+def test_remove_duplicated_spans(spark, docs, mode):
+    """ExactSubstr removal over the module corpus: fully-duplicated
+    docs empty out, partially-duplicated docs keep exactly the tokens
+    outside their spans, unique docs pass through normalized."""
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in D.remove_duplicated_spans(docs, w=8, hash_mode=mode).collect()}
+    assert out[0] == ("", 14) and out[1] == ("", 14) and out[2] == ("", 14)
+    assert out[3] == ("tonight", 13)
+    assert out[4] == ("arrow", 10) and out[5] == ("arrows", 10)
+    assert out[6] == ("unrelated short doc", 0)
+
+
+def test_remove_duplicated_spans_interior_and_null(spark):
+    """Interior spans keep the surrounding tokens in order; null text
+    stays null; sub-window docs pass through."""
+    run = " ".join(f"r{i}" for i in range(8))
+    rows = [
+        (0, f"left edge {run} right edge"),
+        (1, f"other prefix {run} other suffix"),
+        (2, None),
+        (3, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed"])
+           for r in D.remove_duplicated_spans(df, w=8).collect()}
+    assert out[0] == ("left edge right edge", 8)
+    assert out[1] == ("other prefix other suffix", 8)
+    assert out[2] == (None, 0)
+    assert out[3] == ("too short", 0)
