@@ -749,6 +749,18 @@ FROM documents
 """
 
 
+def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, Appendix A) as
+    per-doc int flags + combined keep — the standard pre-training
+    corpus filter, integer-exact across engines."""
+    docs = _t(spark, sf_dir, "documents")
+    docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return docs.select("doc_id", *X.gopher_flag_cols(F.col("text")))
+
+
+_GOPHER_SQL = f"SELECT doc_id, {X.gopher_flag_sql('text')} FROM documents"
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint_col(F.col("text")).alias("fp"))
@@ -1928,6 +1940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "lang_id": q_lang_id,
         "quality_counts": q_quality_counts,
+        "gopher_filter": q_gopher_filter,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1994,6 +2007,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_COUNT_SQL,
         "lang_id": _LANG_ID_SQL,
         "quality_counts": _QUALITY_SQL,
+        "gopher_filter": _GOPHER_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,

@@ -242,6 +242,101 @@ def quality_score_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, 'Scaling
+# Language Models: ... Gopher', Appendix A quality heuristics) — every
+# rule in INTEGER arithmetic so Spark and the DuckDB oracle agree
+# bit-exactly (ratio thresholds become cross-multiplied comparisons).
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+def gopher_flag_cols(c: Column) -> list[Column]:
+    """The Gopher keep/drop rules as named int flags + the combined
+    keep: word-count bounds, mean word length in [3, 10], #/ellipsis
+    symbol-to-word ratio <= 0.1, >= 80% of words contain a letter,
+    >= 2 distinct designated stop words, <= 90% bullet lines and
+    <= 30% ellipsis-ending lines."""
+    ts = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    n_words = F.size(ts)
+    wl_total = F.aggregate(ts, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_sym = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\.|…"), 0))
+    n_alpha = F.size(F.filter(ts, lambda t: t.rlike("[a-z]")))
+    n_stop = F.size(F.array_intersect(
+        F.array_distinct(ts), F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    ))
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.filter(
+        lines, lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•")
+    ))
+    n_ell = F.size(F.filter(
+        lines, lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    ))
+    f_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    f_mwl = (wl_total >= 3 * n_words) & (wl_total <= 10 * n_words)
+    f_sym = n_sym * 10 <= n_words
+    f_alpha = n_alpha * 10 >= n_words * 8
+    f_stop = n_stop >= 2
+    f_bullet = n_bullet * 10 <= n_lines * 9
+    f_ellipsis = n_ell * 10 <= n_lines * 3
+    keep = f_words & f_mwl & f_sym & f_alpha & f_stop & f_bullet & f_ellipsis
+    return [
+        n_words.cast("long").alias("n_words"),
+        f_words.cast("int").alias("ok_word_count"),
+        f_mwl.cast("int").alias("ok_mean_word_len"),
+        f_sym.cast("int").alias("ok_symbol_ratio"),
+        f_alpha.cast("int").alias("ok_alpha_words"),
+        f_stop.cast("int").alias("ok_stop_words"),
+        f_bullet.cast("int").alias("ok_bullet_lines"),
+        f_ellipsis.cast("int").alias("ok_ellipsis_lines"),
+        keep.cast("int").alias("keep"),
+    ]
+
+
+def gopher_flag_sql(expr: str) -> str:
+    """DuckDB twin of gopher_flag_cols — same names, same integer
+    semantics; emitted as a projection fragment."""
+    ts = f"list_filter(regexp_split_to_array(lower({expr}), '\\s+'), t -> t <> '')"
+    n_words = f"len({ts})"
+    wl_total = f"list_sum(list_transform({ts}, t -> length(t)))"
+    n_sym = f"len(regexp_extract_all({expr}, '#|\\.\\.\\.|…'))"
+    n_alpha = f"len(list_filter({ts}, t -> regexp_matches(t, '[a-z]')))"
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    n_stop = f"len(list_intersect(list_distinct({ts}), [{stops}]))"
+    lines = f"string_split({expr}, chr(10))"
+    n_lines = f"len({lines})"
+    n_bullet = f"len(list_filter({lines}, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))"
+    n_ell = (
+        f"len(list_filter({lines}, l -> ends_with(rtrim(l), '...') "
+        f"OR ends_with(rtrim(l), '…')))"
+    )
+    # coalesce(list_sum(...), 0): DuckDB list_sum of an empty list is
+    # NULL where Spark's aggregate seed makes it 0
+    wl_total = f"coalesce({wl_total}, 0)"
+    f_words = f"({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS})"
+    f_mwl = f"({wl_total} >= 3 * {n_words} AND {wl_total} <= 10 * {n_words})"
+    f_sym = f"({n_sym} * 10 <= {n_words})"
+    f_alpha = f"({n_alpha} * 10 >= {n_words} * 8)"
+    f_stop = f"({n_stop} >= 2)"
+    f_bullet = f"({n_bullet} * 10 <= {n_lines} * 9)"
+    f_ell = f"({n_ell} * 10 <= {n_lines} * 3)"
+    keep = f"({f_words} AND {f_mwl} AND {f_sym} AND {f_alpha} AND {f_stop} AND {f_bullet} AND {f_ell})"
+    return (
+        f"CAST({n_words} AS BIGINT) AS n_words, "
+        f"CAST({f_words} AS INT) AS ok_word_count, "
+        f"CAST({f_mwl} AS INT) AS ok_mean_word_len, "
+        f"CAST({f_sym} AS INT) AS ok_symbol_ratio, "
+        f"CAST({f_alpha} AS INT) AS ok_alpha_words, "
+        f"CAST({f_stop} AS INT) AS ok_stop_words, "
+        f"CAST({f_bullet} AS INT) AS ok_bullet_lines, "
+        f"CAST({f_ell} AS INT) AS ok_ellipsis_lines, "
+        f"CAST({keep} AS INT) AS keep"
+    )
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (normalized-content hash)
 
 def fingerprint_col(c: Column) -> Column:

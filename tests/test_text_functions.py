@@ -116,3 +116,35 @@ def test_format_size_matches_reference(spark):
     got = {r["b"]: r["s"] for r in df.select("b", format_size_col(F.col("b")).alias("s")).collect()}
     for c in cases:
         assert got[c] == convert_size(c), (c, got[c], convert_size(c))
+
+
+def test_gopher_flags_rule_edges(spark):
+    """Each Gopher rule trips on a doc built to violate exactly it (plus
+    a clean doc that passes all)."""
+    from borges_spark.functions.text import gopher_flag_cols
+
+    good = "the report said that we have worked with many teams to " \
+           "measure results over time and " + " ".join(
+               f"word{i}" for i in range(45))
+    cases = {
+        0: good,                                              # keep
+        1: "the quick brown fox that we have with",           # too few words
+        2: "the of and that have with be to " + "a " * 52,    # mean wl < 3
+        3: good + " " + "# " * 10,                            # symbol ratio
+        4: "the of and that have with be to " + "1234 " * 52, # alpha words
+        5: " ".join(f"word{i}" for i in range(60)),           # no stop words
+        6: good + "\n" + "\n".join("- item" for _ in range(99)),   # bullets
+        7: good + "\n" + "\n".join("cliff hanger..." for _ in range(9)),  # ellipsis
+    }
+    df = spark.createDataFrame(list(cases.items()), "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in
+            df.select("doc_id", *gopher_flag_cols(F.col("text"))).collect()}
+    assert rows[0]["keep"] == 1
+    failing_flag = {
+        1: "ok_word_count", 2: "ok_mean_word_len", 3: "ok_symbol_ratio",
+        4: "ok_alpha_words", 5: "ok_stop_words", 6: "ok_bullet_lines",
+        7: "ok_ellipsis_lines",
+    }
+    for doc_id, flag in failing_flag.items():
+        assert rows[doc_id][flag] == 0, (doc_id, flag, rows[doc_id])
+        assert rows[doc_id]["keep"] == 0, (doc_id, rows[doc_id])
