@@ -1680,9 +1680,10 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the exactly-representable feature components (dims,
     constant-plane luma, sample-count duration, frame counts), so the
     value hash is deterministic cross-engine while the decode
-    underneath is genuine header/plane/sample/bitstream parsing. Only
-    genuinely codec-bound formats (MP4/WebP) keep the documented
-    deterministic fallback."""
+    underneath is genuine header/plane/sample/bitstream parsing. WebP
+    rows go through the full VP8L decoder (RIFF walk, LSB-first prefix
+    codes). Only genuinely codec-bound formats (MP4 video / lossy VP8)
+    keep the documented deterministic fallback."""
     import numpy as np
 
     from borges_spark.operators import codecs as C
@@ -1717,6 +1718,12 @@ def q_multimodal_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         w, h, v = 8 + i % 5, 6 + i % 4, (14 * i) % 256
         img = np.full((h, w, 3), v, dtype=np.uint8)
         rows.append((f"jpg{i}", "image", "image/jpeg", bytearray(C.encode_jpeg(img)), None))
+    for i in range(15):  # constant-color WebPs through the VP8L decoder
+        # (RIFF walk + LSB bitstream + canonical prefix codes), lossless
+        w, h, v = 4 + i % 6, 3 + i % 3, (23 * i) % 256
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        rows.append((f"webp{i}", "image", "image/webp",
+                     bytearray(C.encode_webp_lossless(img)), None))
     media = spark.createDataFrame(
         rows,
         "media_id string, kind string, mime string, payload binary, "
@@ -1771,6 +1778,13 @@ SELECT 'jpg' || CAST(i.range AS VARCHAR), 'image',
        CAST(8 + i.range % 5 AS DOUBLE),
        CAST(6 + i.range % 4 AS DOUBLE),
        CAST((14 * i.range) % 256 AS DOUBLE),
+       CAST(0 AS DOUBLE)
+FROM range(0, 15) i
+UNION ALL
+SELECT 'webp' || CAST(i.range AS VARCHAR), 'image',
+       CAST(4 + i.range % 6 AS DOUBLE),
+       CAST(3 + i.range % 3 AS DOUBLE),
+       CAST((23 * i.range) % 256 AS DOUBLE),
        CAST(0 AS DOUBLE)
 FROM range(0, 15) i
 """

