@@ -147,6 +147,89 @@ def shingle_hash_frame(docs: DataFrame, text_col: str = "text",
 # MinHash + LSH
 
 
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _xxh64_int_scalar(value: int, seed: int = 42) -> int:
+    """Spark XXH64.hashInt (catalyst XxHash64 on an IntegerType column),
+    bit-exact — used to pre-fold the constant perm column into a seed."""
+    M = (1 << 64) - 1
+    h = (seed + _XXH_P5 + 4) & M
+    h ^= ((value & 0xFFFFFFFF) * _XXH_P1) & M
+    h = ((h << 23 | h >> 41) & M) * _XXH_P2 + _XXH_P3
+    h &= M
+    h ^= h >> 33
+    h = (h * _XXH_P2) & M
+    h ^= h >> 29
+    h = (h * _XXH_P3) & M
+    h ^= h >> 32
+    return h
+
+
+def _xxh64_long_vec(values, seed: int):
+    """Spark XXH64.hashLong over a uint64 numpy array, bit-exact
+    (verified against F.xxhash64 in tests): the 8-byte single-block
+    path + avalanche, all mod-2^64 numpy arithmetic."""
+    import numpy as np
+
+    v = values.astype(np.uint64, copy=False)
+    k1 = v * np.uint64(_XXH_P2)
+    k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+    k1 *= np.uint64(_XXH_P1)
+    h = np.uint64((seed + _XXH_P5 + 8) & ((1 << 64) - 1)) ^ k1
+    h = ((h << np.uint64(27)) | (h >> np.uint64(37))) * np.uint64(_XXH_P1) + np.uint64(_XXH_P4)
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(_XXH_P2)
+    h ^= h >> np.uint64(29)
+    h *= np.uint64(_XXH_P3)
+    h ^= h >> np.uint64(32)
+    return h
+
+
+def minhash_wide_frame(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_perms: int = MINHASH_PERMS,
+                       k: int = SHINGLE_LEN) -> DataFrame:
+    """(id, h0..h{n-1}) — the fast-path minhash signature computed
+    END-TO-END in the numpy worker: rolling-hash shingles, then all
+    n_perms xxhash64 spreads + minima over the in-memory hash array.
+    Values are BIT-IDENTICAL to the JVM formulation
+    shiftrightunsigned(xxhash64(int(i), sh), 4) min-aggregated over
+    exploded shingle rows (the q:minhash_lsh_fast diff gate proves it),
+    but nothing explodes: the JVM path shipped n_docs x n_shingles rows
+    through 16 codegen'd hash calls and a wide min-agg shuffle; this
+    path ships one row per doc and shuffles nothing."""
+    seeds = [_xxh64_int_scalar(i) for i in range(n_perms)]
+    out_schema = f"{id_col} bigint, " + ", ".join(f"h{i} bigint" for i in range(n_perms))
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, mins = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                hs = _rolling_hash_doc(t, k)
+                if hs is None:
+                    continue
+                u = hs.view(np.uint64)
+                ids.append(i)
+                mins.append(
+                    [int(( _xxh64_long_vec(u, s) >> np.uint64(4)).min()) for s in seeds]
+                )
+            if ids:
+                arr = np.asarray(mins, dtype=np.int64)
+                data = {id_col: np.asarray(ids, dtype=np.int64)}
+                for j in range(n_perms):
+                    data[f"h{j}"] = arr[:, j]
+                yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int,
                   hash_mode: str = "oracle") -> DataFrame:
     """(id, h0..h{n-1}) — all n permutation minima in ONE pass over the
@@ -179,13 +262,10 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int,
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
     if hash_mode == "fast":
-        ex = shingle_hash_frame(docs, text_col, id_col).select(
-            F.col(id_col), F.explode("hs").alias("sh")
-        )
-        hcols = [
-            F.shiftrightunsigned(F.xxhash64(F.lit(i).cast("int"), F.col("sh")), 4).alias(f"h{i}")
-            for i in range(n_perms)
-        ]
+        # the whole signature is computed in the worker (see
+        # minhash_wide_frame): same values as the former JVM
+        # explode + 16x xxhash64 + wide min-agg, zero shuffle
+        return minhash_wide_frame(docs, text_col, id_col, n_perms)
     else:
         ex = docs.select(
             F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")

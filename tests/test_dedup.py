@@ -244,3 +244,28 @@ def test_remove_duplicated_spans_interior_and_null(spark):
     assert out[1] == ("other prefix other suffix", 8)
     assert out[2] == (None, 0)
     assert out[3] == ("too short", 0)
+
+
+def test_numpy_xxh64_bit_parity_with_spark(spark):
+    """The worker-side minhash fast path replays Spark's XXH64
+    (hashInt-seeded hashLong) — assert bit equality against the real
+    F.xxhash64 over random (perm, shingle) pairs."""
+    import numpy as np
+
+    from borges_spark.operators.dedup import _xxh64_int_scalar, _xxh64_long_vec
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (int(p), int(v))
+        for p, v in zip(
+            rng.integers(0, 16, 64),
+            rng.integers(-2**63, 2**63, 64, dtype=np.int64),
+        )
+    ]
+    df = spark.createDataFrame(rows, "perm int, sh long")
+    got = [r["h"] for r in df.select(F.xxhash64(F.col("perm"), F.col("sh")).alias("h")).collect()]
+    want = [
+        int(np.int64(_xxh64_long_vec(np.array([v]).astype(np.uint64), _xxh64_int_scalar(p))[0]))
+        for p, v in rows
+    ]
+    assert got == want
