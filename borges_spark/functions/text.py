@@ -169,12 +169,12 @@ def bpe_ish_token_count_sql(expr: str) -> str:
 # language ID (marker-bank heuristic)
 
 def _lang_score_col(c: Column, lang: str) -> Column:
-    toks = F.split(F.lower(c), r"\s+")
-    score = None
-    for m in LANG_MARKERS[lang]:
-        hit = F.array_contains(toks, m).cast("int")
-        score = hit if score is None else score + hit
-    return score
+    # |distinct tokens ∩ marker bank| — equivalent to summing one
+    # array_contains per marker (each marker counts 0/1), but the token
+    # array is scanned once per bank instead of once per marker
+    toks = F.array_distinct(F.split(F.lower(c), r"\s+"))
+    bank = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(toks, bank))
 
 
 def lang_id_col(c: Column) -> Column:
