@@ -319,6 +319,78 @@ class SnapshotStore:
             expired_rounds.append(r)
         return expired_rounds
 
+    def compact_dataset(self, spark: SparkSession, round_no: int, name: str,
+                        target_bytes: int = 128 << 20) -> dict:
+        """Small-file compaction for one committed round's APPEND
+        dataset (the rewrite_data_files maintenance op): a round's
+        crawl_log/metrics are written by every executor task, so a
+        32-core round leaves ~32 small files; at 100 TB the per-round
+        file count is what kills the multi-round scan's split planning.
+        Rewrites the dataset into ceil(bytes / target_bytes) files,
+        validates the row count, then swaps directories (old kept as
+        `<name>.pre_compact` until the swap completes, then removed —
+        a crash mid-swap leaves either the old or the new directory
+        under the live name, never neither, because the live name is
+        renamed away only after the replacement is fully written).
+        The bucketed frontier is refused: its file layout IS the
+        storage-partitioned-join contract (the engine already writes
+        <= 2 files per bucket; compacting it means rewriting the
+        bucketed table, a different op). Records a `compacted` entry
+        in the round manifest and returns the before/after stats."""
+        if name in SNAPSHOT_DATASETS:
+            raise ValueError(
+                f"'{name}' is a full-state snapshot dataset (bucketed "
+                f"layout is load-bearing); compaction targets append "
+                f"datasets only"
+            )
+        if round_no not in self.rounds():
+            raise ValueError(f"round {round_no} is not committed")
+        if name not in self.manifest(round_no).get("datasets", []):
+            raise ValueError(f"round {round_no} has no dataset '{name}'")
+        path = os.path.join(self._round_dir(round_no), name)
+
+        def _stats(p):
+            files = [
+                os.path.join(p, f) for f in os.listdir(p)
+                if f.endswith(".parquet") or (f.startswith("part-") and not f.endswith(".crc"))
+            ]
+            return len(files), sum(os.path.getsize(f) for f in files)
+
+        files_before, bytes_before = _stats(path)
+        n_out = max(1, -(-bytes_before // target_bytes))
+        df = spark.read.parquet(path)
+        n_rows = df.count()
+        tmp = path + ".compact_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            df.repartition(n_out)
+            .write.mode("overwrite")
+            .option("compression", self._codec)
+            .parquet(tmp)
+        )
+        if spark.read.parquet(tmp).count() != n_rows:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError("compaction row-count mismatch; original kept")
+        spark.catalog.clearCache()  # drop any cached scans over the old files
+        old = path + ".pre_compact"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        files_after, bytes_after = _stats(path)
+        man = self.manifest(round_no)
+        man.setdefault("compacted", {})[name] = {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes_before": bytes_before,
+            "bytes_after": bytes_after,
+        }
+        mpath = os.path.join(self._round_dir(round_no), "manifest.json")
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(man, f)
+        os.replace(mpath + ".tmp", mpath)
+        return man["compacted"][name]
+
     def gc_uncommitted(self) -> None:
         """Drop data for rounds after the last committed snapshot."""
         latest = self.latest_round()

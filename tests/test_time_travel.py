@@ -133,3 +133,31 @@ def test_expire_snapshots(spark, full_store, tmp_path):
     eng = _engine(spark, root, ROUNDS + 1)
     eng.run(resume=True)
     assert eng.store.latest_round() >= last
+
+
+def test_compact_dataset(spark, full_store, tmp_path):
+    """Compaction coalesces a round's multi-task crawl_log into one
+    file with identical data; snapshot datasets are refused; manifest
+    records the stats; time-travel reads keep working."""
+    import os
+
+    root = str(tmp_path / "cp")
+    shutil.copytree(full_store.root, root)
+    store = SnapshotStore(root)
+    r = store.rounds()[0]
+    before = _log_tuples(spark, store)
+
+    path = f"{store._round_dir(r)}/crawl_log"
+    n_files = len([f for f in os.listdir(path) if f.startswith("part-") and not f.endswith(".crc")])
+    assert n_files >= 2  # written by multiple tasks
+
+    stats = store.compact_dataset(spark, r, "crawl_log")
+    assert stats["files_before"] == n_files and stats["files_after"] == 1
+    assert store.manifest(r)["compacted"]["crawl_log"]["files_after"] == 1
+    assert _log_tuples(spark, store) == before  # data identical
+    assert store.read_as_of(spark, "crawl_log", r).count() > 0
+
+    with pytest.raises(ValueError, match="snapshot dataset"):
+        store.compact_dataset(spark, r, "frontier")
+    with pytest.raises(ValueError, match="not committed"):
+        store.compact_dataset(spark, store.rounds()[-1] + 5, "crawl_log")
