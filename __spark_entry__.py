@@ -761,6 +761,93 @@ def q_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOPHER_SQL = f"SELECT doc_id, {X.gopher_flag_sql('text')} FROM documents"
 
 
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021 Appendix A):
+    duplicate-line occurrence/character fractions, top-2-gram character
+    fraction, duplicated-5-gram coverage fraction — pure-integer counts
+    + cross-multiplied keep flags, value-exact vs DuckDB (semantics
+    pinned in functions/text.repetition_stats_frame)."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.repetition_stats_frame(docs)
+
+
+_GOPHER_REPETITION_SQL = """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM docs),
+line_stats AS (
+  SELECT doc_id, count(*) AS n_lines, sum(length(ln)) AS line_chars
+  FROM lines GROUP BY doc_id
+),
+line_counts AS (SELECT doc_id, ln, count(*) AS c FROM lines GROUP BY 1, 2),
+dup_lines AS (
+  SELECT doc_id,
+         coalesce(sum(c - 1) FILTER (WHERE c >= 2), 0) AS dup_line_extra,
+         coalesce(sum(length(ln) * (c - 1)) FILTER (WHERE c >= 2), 0) AS dup_line_chars_extra
+  FROM line_counts GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '') AS ws
+  FROM docs
+),
+word_stats AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS n_word_chars
+  FROM toks
+),
+g2 AS (
+  SELECT doc_id, array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 1 AS INT)), ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)
+),
+g2_counts AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+top2 AS (
+  SELECT doc_id, c AS top2_count, length(g) AS top2_chars
+  FROM (SELECT doc_id, g, c,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM g2_counts)
+  WHERE rn = 1
+),
+g5 AS (
+  SELECT doc_id, i, array_to_string(list_slice(ws, CAST(i AS INT), CAST(i + 4 AS INT)), ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 3)) AS i FROM toks WHERE len(ws) >= 5)
+),
+g5_dup AS (SELECT doc_id, g FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, p FROM (
+    SELECT s.doc_id, unnest(range(s.i, s.i + 5)) AS p
+    FROM g5 s SEMI JOIN g5_dup d ON s.doc_id = d.doc_id AND s.g = d.g)
+),
+dup5 AS (
+  SELECT c.doc_id, sum(length(t.ws[CAST(c.p AS INT)])) AS dup5_chars
+  FROM cov c JOIN toks t USING (doc_id) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       CAST(ls.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(dl.dup_line_extra, 0) AS BIGINT) AS dup_line_extra,
+       CAST(ls.line_chars AS BIGINT) AS line_chars,
+       CAST(coalesce(dl.dup_line_chars_extra, 0) AS BIGINT) AS dup_line_chars_extra,
+       CAST(coalesce(t2.top2_count, 0) AS BIGINT) AS top2_count,
+       CAST(coalesce(t2.top2_chars, 0) AS BIGINT) AS top2_chars,
+       CAST(coalesce(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+       CAST(ws.n_word_chars AS BIGINT) AS n_word_chars,
+       CAST(CASE WHEN coalesce(dl.dup_line_extra, 0) * 10 <= 3 * ls.n_lines THEN 1 ELSE 0 END AS INT) AS ok_dup_lines,
+       CAST(CASE WHEN coalesce(dl.dup_line_chars_extra, 0) * 10 <= 2 * ls.line_chars THEN 1 ELSE 0 END AS INT) AS ok_dup_line_chars,
+       CAST(CASE WHEN coalesce(t2.top2_count, 0) * coalesce(t2.top2_chars, 0) * 5 <= ws.n_word_chars THEN 1 ELSE 0 END AS INT) AS ok_top2gram,
+       CAST(CASE WHEN coalesce(d5.dup5_chars, 0) * 20 <= 3 * ws.n_word_chars THEN 1 ELSE 0 END AS INT) AS ok_dup5gram,
+       CAST(CASE WHEN coalesce(dl.dup_line_extra, 0) * 10 <= 3 * ls.n_lines
+                  AND coalesce(dl.dup_line_chars_extra, 0) * 10 <= 2 * ls.line_chars
+                  AND coalesce(t2.top2_count, 0) * coalesce(t2.top2_chars, 0) * 5 <= ws.n_word_chars
+                  AND coalesce(d5.dup5_chars, 0) * 20 <= 3 * ws.n_word_chars
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM docs d
+JOIN line_stats ls USING (doc_id)
+LEFT JOIN dup_lines dl USING (doc_id)
+JOIN word_stats ws USING (doc_id)
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint_col(F.col("text")).alias("fp"))
@@ -1955,6 +2042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_counts": q_quality_counts,
         "gopher_filter": q_gopher_filter,
+        "gopher_repetition": q_gopher_repetition,
         "fingerprint": q_fingerprint,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -2022,6 +2110,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _LANG_ID_SQL,
         "quality_counts": _QUALITY_SQL,
         "gopher_filter": _GOPHER_SQL,
+        "gopher_repetition": _GOPHER_REPETITION_SQL,
         "fingerprint": _FINGERPRINT_SQL,
         "simhash": _SIMHASH_SQL,
         "simhash_pairs": _SIMHASH_PAIRS_SQL,

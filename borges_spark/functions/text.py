@@ -337,6 +337,105 @@ def gopher_flag_sql(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Gopher repetition-removal rules (Rae et al. 2021, Appendix A "repetition
+# removal"): duplicate-line fractions and n-gram character fractions.
+# Frame-level (each doc needs within-doc grouping), computed in an Arrow
+# worker with pure-integer outputs so the DuckDB twin is hash-exact.
+#
+# Semantics (documented precisely so both engines agree):
+#   lines        = text split on '\n', RAW (no trim/case-fold)
+#   words        = non-empty split on \s+ of lower(text)
+#   dup_line_extra        = Σ over line values with count c >= 2 of (c - 1)
+#   dup_line_chars_extra  = same, weighted by len(line)
+#   top2_count/top2_chars = occurrences and string length of the most
+#                           frequent word 2-gram (ties -> lexicographically
+#                           smallest gram); 0/0 when < 2 words
+#   dup5_chars   = Σ word lengths over the DISTINCT word positions covered
+#                  by any 5-gram occurring >= 2 times (position marking,
+#                  overlaps counted once)
+#   n_word_chars = Σ len(word)
+# Flags (keep-thresholds from the paper, cross-multiplied):
+#   ok_dup_lines:      dup_line_extra * 10 <= 3 * n_lines          (<= 0.30)
+#   ok_dup_line_chars: dup_line_chars_extra * 10 <= 2 * line_chars (<= 0.20)
+#   ok_top2gram:       top2_count * top2_chars * 5 <= n_word_chars (<= 0.20)
+#   ok_dup5gram:       dup5_chars * 20 <= 3 * n_word_chars         (<= 0.15)
+
+
+def repetition_stats_frame(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, counts..., flags..., keep) per non-null-text document."""
+    from pyspark.sql import functions as _F
+
+    out_schema = (
+        f"{id_col} bigint, n_lines bigint, dup_line_extra bigint, "
+        "line_chars bigint, dup_line_chars_extra bigint, "
+        "top2_count bigint, top2_chars bigint, "
+        "dup5_chars bigint, n_word_chars bigint, "
+        "ok_dup_lines int, ok_dup_line_chars int, ok_top2gram int, "
+        "ok_dup5gram int, keep int"
+    )
+
+    def gen(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    continue
+                lines = t.split("\n")
+                lc = Counter(lines)
+                n_lines = len(lines)
+                dup_extra = sum(c - 1 for c in lc.values() if c >= 2)
+                line_chars = sum(len(ln) for ln in lines)
+                dup_chars_extra = sum(len(ln) * (c - 1) for ln, c in lc.items() if c >= 2)
+                words = t.lower().split()
+                n_word_chars = sum(len(w) for w in words)
+                if len(words) >= 2:
+                    g2 = Counter(" ".join(p) for p in zip(words, words[1:]))
+                    top_n = max(g2.values())
+                    top_g = min(g for g, c in g2.items() if c == top_n)
+                    top2_count, top2_chars = top_n, len(top_g)
+                else:
+                    top2_count = top2_chars = 0
+                covered = set()
+                if len(words) >= 5:
+                    g5 = Counter(tuple(words[j:j + 5]) for j in range(len(words) - 4))
+                    dup_starts = [
+                        j for j in range(len(words) - 4)
+                        if g5[tuple(words[j:j + 5])] >= 2
+                    ]
+                    for j in dup_starts:
+                        covered.update(range(j, j + 5))
+                dup5_chars = sum(len(words[j]) for j in covered)
+                f_dl = int(dup_extra * 10 <= 3 * n_lines)
+                f_dlc = int(dup_chars_extra * 10 <= 2 * line_chars)
+                f_t2 = int(top2_count * top2_chars * 5 <= n_word_chars)
+                f_d5 = int(dup5_chars * 20 <= 3 * n_word_chars)
+                rows.append(
+                    (int(i), n_lines, dup_extra, line_chars, dup_chars_extra,
+                     top2_count, top2_chars, dup5_chars, n_word_chars,
+                     f_dl, f_dlc, f_t2, f_d5, f_dl * f_dlc * f_t2 * f_d5)
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        id_col, "n_lines", "dup_line_extra", "line_chars",
+                        "dup_line_chars_extra", "top2_count", "top2_chars",
+                        "dup5_chars", "n_word_chars", "ok_dup_lines",
+                        "ok_dup_line_chars", "ok_top2gram", "ok_dup5gram",
+                        "keep",
+                    ],
+                )
+
+    docs = docs.filter(_F.col(text_col).isNotNull())
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+# ---------------------------------------------------------------------------
 # document fingerprinting (normalized-content hash)
 
 def fingerprint_col(c: Column) -> Column:

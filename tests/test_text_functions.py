@@ -148,3 +148,31 @@ def test_gopher_flags_rule_edges(spark):
     for doc_id, flag in failing_flag.items():
         assert rows[doc_id][flag] == 0, (doc_id, flag, rows[doc_id])
         assert rows[doc_id]["keep"] == 0, (doc_id, rows[doc_id])
+
+
+def test_gopher_repetition_rule_edges(spark):
+    """Each repetition rule trips on a doc built to violate it; a clean
+    doc passes all four."""
+    from borges_spark.functions.text import repetition_stats_frame
+
+    uniq = [f"w{i:02d}x" for i in range(30)]  # 30 unique 4-char words
+    run = ["ra1x", "rb2x", "rc3x", "rd4x", "re5x"]
+    cases = {
+        0: "\n".join(f"line {i} " + " ".join(uniq[i:i + 3]) for i in range(8)),
+        # 5 copies of one line among 10 -> dup_line_extra 4 > 0.3 * 10
+        1: "\n".join(["same line"] * 5 + [f"uniq {i}" for i in range(5)]),
+        # one duplicated LONG line among short ones -> char fraction trips
+        2: "\n".join(["L" * 100] * 2 + [f"uniq {i}" for i in range(8)]),
+        # one 2-gram dominates the text
+        3: " ".join(["ab cd"] * 30),
+        # a 5-word run repeated twice inside otherwise-unique text
+        4: " ".join(uniq[:15] + run + uniq[15:] + run),
+    }
+    df = spark.createDataFrame(list(cases.items()), "doc_id long, text string")
+    rows = {r["doc_id"]: r.asDict() for r in repetition_stats_frame(df).collect()}
+    assert rows[0]["keep"] == 1, rows[0]
+    assert rows[1]["ok_dup_lines"] == 0 and rows[1]["keep"] == 0
+    assert rows[2]["ok_dup_line_chars"] == 0 and rows[2]["ok_dup_lines"] == 1
+    assert rows[3]["ok_top2gram"] == 0
+    assert rows[4]["ok_dup5gram"] == 0 and rows[4]["ok_top2gram"] == 1
+    assert rows[4]["dup5_chars"] == 40  # 10 covered words x 4 chars
