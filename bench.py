@@ -64,6 +64,8 @@ HEADLINE = [
     "minhash_lsh_fast",
     "ngram_jaccard",
     "substring_dedup_fast",
+    "gopher_filter",
+    "gopher_repetition",
     "random_sample",
     "embedding_neardup",
     "ann_bruteforce",
