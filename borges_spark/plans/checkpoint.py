@@ -328,10 +328,12 @@ class SnapshotStore:
         file count is what kills the multi-round scan's split planning.
         Rewrites the dataset into ceil(bytes / target_bytes) files,
         validates the row count, then swaps directories (old kept as
-        `<name>.pre_compact` until the swap completes, then removed —
-        a crash mid-swap leaves either the old or the new directory
-        under the live name, never neither, because the live name is
-        renamed away only after the replacement is fully written).
+        `<name>.pre_compact` until the swap completes). POSIX rename
+        cannot atomically replace a non-empty directory, so a crash
+        BETWEEN the two renames leaves the live name briefly absent —
+        heal_compactions() (run automatically on resume via
+        gc_uncommitted and at the start of every compaction) restores
+        the preserved original, so no committed data is ever lost.
         The bucketed frontier is refused: its file layout IS the
         storage-partitioned-join contract (the engine already writes
         <= 2 files per bucket; compacting it means rewriting the
@@ -347,6 +349,7 @@ class SnapshotStore:
             raise ValueError(f"round {round_no} is not committed")
         if name not in self.manifest(round_no).get("datasets", []):
             raise ValueError(f"round {round_no} has no dataset '{name}'")
+        self.heal_compactions()
         path = os.path.join(self._round_dir(round_no), name)
 
         def _stats(p):
@@ -391,8 +394,35 @@ class SnapshotStore:
         os.replace(mpath + ".tmp", mpath)
         return man["compacted"][name]
 
+    def heal_compactions(self) -> list[str]:
+        """Recover from a crash inside compact_dataset's directory
+        swap. Three possible crash states per dataset, all safe:
+        leftover `.compact_tmp` only (crash before the swap) — drop
+        it; live name MISSING with `.pre_compact` present (crash
+        between the two renames) — restore the preserved original;
+        both live and `.pre_compact` present (crash after the swap,
+        before cleanup) — the validated replacement is live, drop the
+        old copy. Returns the restored paths."""
+        healed: list[str] = []
+        for r in self.rounds():
+            rdir = self._round_dir(r)
+            for entry in sorted(os.listdir(rdir)):
+                p = os.path.join(rdir, entry)
+                if entry.endswith(".compact_tmp"):
+                    shutil.rmtree(p, ignore_errors=True)
+                elif entry.endswith(".pre_compact"):
+                    live = os.path.join(rdir, entry[: -len(".pre_compact")])
+                    if not os.path.exists(live):
+                        os.rename(p, live)
+                        healed.append(live)
+                    else:
+                        shutil.rmtree(p, ignore_errors=True)
+        return healed
+
     def gc_uncommitted(self) -> None:
-        """Drop data for rounds after the last committed snapshot."""
+        """Drop data for rounds after the last committed snapshot, and
+        heal any interrupted compaction swap (resume entry point)."""
+        self.heal_compactions()
         latest = self.latest_round()
         for entry in os.listdir(self.root):
             if not entry.startswith("r") or not entry[1:].isdigit():

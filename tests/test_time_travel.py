@@ -161,3 +161,41 @@ def test_compact_dataset(spark, full_store, tmp_path):
         store.compact_dataset(spark, r, "frontier")
     with pytest.raises(ValueError, match="not committed"):
         store.compact_dataset(spark, store.rounds()[-1] + 5, "crawl_log")
+
+
+def test_heal_interrupted_compaction(spark, full_store, tmp_path):
+    """All three compaction crash states recover without data loss."""
+    import os
+
+    before = _log_tuples(spark, full_store)
+    r = full_store.rounds()[0]
+
+    # state 1: crash before the swap (stray .compact_tmp only)
+    root1 = str(tmp_path / "h1")
+    shutil.copytree(full_store.root, root1)
+    s1 = SnapshotStore(root1)
+    os.makedirs(f"{s1._round_dir(r)}/crawl_log.compact_tmp")
+    assert s1.heal_compactions() == []
+    assert not os.path.exists(f"{s1._round_dir(r)}/crawl_log.compact_tmp")
+    assert _log_tuples(spark, s1) == before
+
+    # state 2: crash between the renames (live name missing)
+    root2 = str(tmp_path / "h2")
+    shutil.copytree(full_store.root, root2)
+    s2 = SnapshotStore(root2)
+    live = f"{s2._round_dir(r)}/crawl_log"
+    os.rename(live, live + ".pre_compact")
+    healed = s2.heal_compactions()
+    assert healed == [live]
+    assert _log_tuples(spark, s2) == before
+
+    # state 3: crash after the swap, before cleanup (both present) —
+    # gc_uncommitted (the resume entry point) heals it too
+    root3 = str(tmp_path / "h3")
+    shutil.copytree(full_store.root, root3)
+    s3 = SnapshotStore(root3)
+    live3 = f"{s3._round_dir(r)}/crawl_log"
+    shutil.copytree(live3, live3 + ".pre_compact")
+    s3.gc_uncommitted()
+    assert not os.path.exists(live3 + ".pre_compact")
+    assert _log_tuples(spark, s3) == before
