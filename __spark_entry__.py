@@ -53,31 +53,40 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: the URL strings are injective in (hostnum, orderkey) — the
+    # host digit alphabet cannot collide with the fixed separators — so
+    # the anti-join keys on the two INTS and the ~40-char URL string is
+    # built only for surviving rows (guide §2.3: shuffle/broadcast
+    # narrower types). The former `.distinct()` on the seen side is
+    # dropped outright: a left-anti join is insensitive to right-side
+    # duplicates, and the aggregate was a full extra Exchange over the
+    # biggest table in the query (guide §2.4).
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
-    frontier = orders.select(
-        F.concat(
-            F.lit("https://h"), F.pmod("o_custkey", F.lit(50)).cast("string"),
-            F.lit(".example.com/o/"), F.col("o_orderkey").cast("string"),
-        ).alias("url"),
-        F.concat(F.lit("h"), F.pmod("o_custkey", F.lit(50)).cast("string")).alias("host"),
+    frontier = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.pmod("o_custkey", F.lit(50)).alias("hostnum"),
         F.col("o_orderkey").alias("seq"),
         F.col("o_totalprice").alias("priority"),
-        (F.col("o_orderstatus") == "O").alias("pending"),
-    ).filter(F.col("pending"))
-    # seen set: URLs whose order already has a shipped lineitem
+    )
+    # seen set: orders that already have a shipped lineitem
     seen = lineitem.filter(F.col("l_linestatus") == "F").select(
-        F.concat(
-            F.lit("https://h"), F.pmod("l_suppkey", F.lit(50)).cast("string"),
-            F.lit(".example.com/o/"), F.col("l_orderkey").cast("string"),
-        ).alias("url")
-    ).distinct()
-    unseen = frontier.join(seen, "url", "left_anti")
-    w = Window.partitionBy("host").orderBy(F.col("priority").desc(), F.col("seq").asc())
+        F.pmod("l_suppkey", F.lit(50)).alias("hostnum"),
+        F.col("l_orderkey").alias("seq"),
+    )
+    unseen = frontier.join(seen, ["hostnum", "seq"], "left_anti")
+    w = Window.partitionBy("hostnum").orderBy(F.col("priority").desc(), F.col("seq").asc())
     return (
         unseen.withColumn("rank_in_round", F.row_number().over(w))
         .filter(F.col("rank_in_round") <= 2)
-        .select("url", "host", "seq", "rank_in_round")
+        .select(
+            F.concat(
+                F.lit("https://h"), F.col("hostnum").cast("string"),
+                F.lit(".example.com/o/"), F.col("seq").cast("string"),
+            ).alias("url"),
+            F.concat(F.lit("h"), F.col("hostnum").cast("string")).alias("host"),
+            "seq",
+            "rank_in_round",
+        )
     )
 
 
@@ -105,17 +114,18 @@ SELECT url, host, seq, rank_in_round FROM ranked WHERE rank_in_round <= 2
 def q_seen_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 — the dedup-probe-before-insert operator (insert_jl.py:28-38):
     candidate part URLs minus the already-seen set."""
+    # r6: the URL is injective in l_partkey, so the distinct and the
+    # anti-join run on the 8-byte key and the string is built only for
+    # the surviving rows (guide §2.3 — the distinct formerly shuffled
+    # every lineitem row as a ~30-char string)
     part = _t(spark, sf_dir, "part")
     lineitem = _t(spark, sf_dir, "lineitem")
-    candidates = lineitem.select(
-        F.concat(F.lit("https://p"), F.pmod("l_partkey", F.lit(20)).cast("string"),
-                 F.lit("/item/"), F.col("l_partkey").cast("string")).alias("url")
-    ).distinct()
-    seen = part.filter(F.col("p_size") > 25).select(
-        F.concat(F.lit("https://p"), F.pmod("p_partkey", F.lit(20)).cast("string"),
-                 F.lit("/item/"), F.col("p_partkey").cast("string")).alias("url")
+    candidates = lineitem.select(F.col("l_partkey").alias("k")).distinct()
+    seen = part.filter(F.col("p_size") > 25).select(F.col("p_partkey").alias("k"))
+    return candidates.join(seen, "k", "left_anti").select(
+        F.concat(F.lit("https://p"), F.pmod("k", F.lit(20)).cast("string"),
+                 F.lit("/item/"), F.col("k").cast("string")).alias("url")
     )
-    return candidates.join(seen, "url", "left_anti").select("url")
 
 
 _SEEN_ANTIJOIN_SQL = """
@@ -465,8 +475,14 @@ def q_random_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-partition top-k heaps + a k-row driver merge, no global sort)."""
     orders = _t(spark, sf_dir, "orders")
     key = X.hash60_col(F.concat(F.col("o_orderkey").cast("string"), F.lit(":seed42")))
+    # r6: materialize the key as a column BEFORE the TakeOrdered — an
+    # ordering EXPRESSION is re-evaluated inside the top-k heap's
+    # comparator (several md5+conv per row); a projected column is
+    # computed once per row (guide §1.2 per-task work). Same key, same
+    # tiebreak, same 100 rows.
     return (
-        orders.orderBy(key.asc(), F.col("o_orderkey").asc())
+        orders.select("o_orderkey", "o_custkey", "o_totalprice", key.alias("_rk"))
+        .orderBy(F.col("_rk").asc(), F.col("o_orderkey").asc())
         .limit(100)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
@@ -694,12 +710,11 @@ FROM documents GROUP BY 2
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r6: one Python pass computes both counts (token_counts_frame) —
+    # was two JVM regex passes per doc; values pinned identical by the
+    # DuckDB oracle + the edge-semantics tests
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        X.token_count_col(F.col("text")).alias("n_tokens"),
-        X.bpe_ish_token_count_col(F.col("text")).alias("n_subword_tokens"),
-    )
+    return X.token_counts_frame(docs).select("doc_id", "n_tokens", "n_subword_tokens")
 
 
 _TOKEN_COUNT_SQL = f"""
@@ -1046,7 +1061,12 @@ def q_simhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from borges_spark.functions.text import SIMHASH_BITS, fast_hash60_col
 
     docs = _t(spark, sf_dir, "documents")
-    expr_path = D.simhash_table(docs, hash_mode="fast")
+    # impl='expr' keeps this arm the INDEPENDENT JVM-expression fold:
+    # the production default (impl='np', what q_simhash_fast_raw times)
+    # is the same numpy vote algebra as np_path below, so gating expr
+    # vs np here proves the production path transitively without the
+    # gate ever comparing an implementation against itself
+    expr_path = D.simhash_table(docs, hash_mode="fast", impl="expr")
 
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     hashed = docs.repartition(

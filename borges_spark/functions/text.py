@@ -165,6 +165,55 @@ def bpe_ish_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
 
 
+def token_counts_frame(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, n_tokens, n_subword_tokens) — the two token counts computed
+    in one Python pass per doc instead of two JVM regex passes over
+    every text (guide §4.2). Bit-identical to
+    token_count_col/bpe_ish_token_count_col by construction:
+
+      - trim strips SPACES only (Spark F.trim semantics);
+      - the split delimiter is the explicit ASCII class Java's \\s
+        compiles to, and Spark's split(limit=-1) KEEPS a trailing empty
+        token (unlike Java String.split) — Python re.split does too;
+      - '' after trim counts 0; null text yields null counts;
+      - the subword alternation regex is shared verbatim (Python and
+        Java agree on these explicit ASCII classes for any input).
+
+    Pinned by the driver's token_count DuckDB oracle and the edge-case
+    suite in tests/test_text_functions.py."""
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    bpe = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0b\f\r]")
+    out_schema = f"{id_col} bigint, n_tokens int, n_subword_tokens int"
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            n_tok, n_sub = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    n_tok.append(None)
+                    n_sub.append(None)
+                    continue
+                tr = t.strip(" ")
+                n_tok.append(0 if tr == "" else len(ws.split(tr)))
+                n_sub.append(len(bpe.findall(t)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.array(n_tok, dtype="Int32"),
+                    "n_subword_tokens": pd.array(n_sub, dtype="Int32"),
+                }
+            )
+
+    from pyspark.sql import functions as _F
+
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, id_col)
+    return docs.select(_F.col(id_col), _F.col(text_col)).mapInPandas(gen, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # language ID (marker-bank heuristic)
 
@@ -282,16 +331,24 @@ def gopher_flag_cols(c: Column) -> list[Column]:
     f_bullet = n_bullet * 10 <= n_lines * 9
     f_ellipsis = n_ell * 10 <= n_lines * 3
     keep = f_words & f_mwl & f_sym & f_alpha & f_stop & f_bullet & f_ellipsis
+    # NULL text -> every output NULL, matching the DuckDB twin (len of a
+    # NULL list is NULL there, while Spark's size() of a null array is
+    # -1 — without the guard a null-text doc breaks the hash-exact gate)
+    nn = c.isNotNull()
+
+    def _g(col):
+        return F.when(nn, col)
+
     return [
-        n_words.cast("long").alias("n_words"),
-        f_words.cast("int").alias("ok_word_count"),
-        f_mwl.cast("int").alias("ok_mean_word_len"),
-        f_sym.cast("int").alias("ok_symbol_ratio"),
-        f_alpha.cast("int").alias("ok_alpha_words"),
-        f_stop.cast("int").alias("ok_stop_words"),
-        f_bullet.cast("int").alias("ok_bullet_lines"),
-        f_ellipsis.cast("int").alias("ok_ellipsis_lines"),
-        keep.cast("int").alias("keep"),
+        _g(n_words.cast("long")).alias("n_words"),
+        _g(f_words.cast("int")).alias("ok_word_count"),
+        _g(f_mwl.cast("int")).alias("ok_mean_word_len"),
+        _g(f_sym.cast("int")).alias("ok_symbol_ratio"),
+        _g(f_alpha.cast("int")).alias("ok_alpha_words"),
+        _g(f_stop.cast("int")).alias("ok_stop_words"),
+        _g(f_bullet.cast("int")).alias("ok_bullet_lines"),
+        _g(f_ellipsis.cast("int")).alias("ok_ellipsis_lines"),
+        _g(keep.cast("int")).alias("keep"),
     ]
 
 
@@ -375,10 +432,12 @@ def repetition_stats_frame(docs, text_col: str = "text", id_col: str = "doc_id")
     )
 
     def gen(it):
+        import re
         from collections import Counter
 
         import pandas as pd
 
+        _ws_ascii = re.compile(r"[ \t\n\x0b\f\r]+")
         for pdf in it:
             rows = []
             for i, t in zip(pdf[id_col], pdf[text_col]):
@@ -390,7 +449,9 @@ def repetition_stats_frame(docs, text_col: str = "text", id_col: str = "doc_id")
                 dup_extra = sum(c - 1 for c in lc.values() if c >= 2)
                 line_chars = sum(len(ln) for ln in lines)
                 dup_chars_extra = sum(len(ln) * (c - 1) for ln, c in lc.items() if c >= 2)
-                words = t.lower().split()
+                # explicit ASCII \s class == the DuckDB twin's regex
+                # (str.split() would also split on Unicode whitespace)
+                words = [w for w in _ws_ascii.split(t.lower()) if w]
                 n_word_chars = sum(len(w) for w in words)
                 if len(words) >= 2:
                     g2 = Counter(" ".join(p) for p in zip(words, words[1:]))

@@ -190,6 +190,91 @@ def _xxh64_long_vec(values, seed: int):
     return h
 
 
+def minhash_wide_oracle_frame(docs: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n_perms: int = MINHASH_PERMS,
+                              k: int = SHINGLE_LEN) -> DataFrame:
+    """(id, h0..h{n-1}) — the ORACLE-hash minhash signature computed in
+    the Python worker instead of the former explode + md5-expression +
+    wide min-agg JVM plan (guide §4.2: hand whole batches to native
+    code; §2.4: the per-doc minima need no shuffle at all).
+
+    Value-identical to the JVM formulation by construction: the 60-bit
+    hash is the same md5 reinterpretation hash60_col compiles to
+    (int of the first 15 hex chars == first 8 digest bytes >> 4), the
+    affine family comes from the same minhash_perm_consts table, and
+    every intermediate fits uint64 exactly (x < 2^30, a,b < 2^31).
+    The DuckDB oracle (same md5, same constants) gates it exactly.
+
+    Whitespace/lowercase normalization uses the explicit ASCII class
+    Java's \\s compiles to ([ \\t\\n\\x0b\\f\\r]) — identical to the JVM
+    path on any input whose text is ASCII (all testdata corpora are;
+    same documented caveat as shingle_hash_frame).
+
+    The per-task md5 cache exploits the dup-heavy shape of real
+    corpora: duplicated shingles hash once per task, and the cache is
+    size-capped so a pathological vocabulary cannot grow it unbounded.
+    """
+    from borges_spark.functions.text import (
+        MINHASH_P,
+        MINHASH_X_MOD,
+        minhash_perm_consts,
+    )
+
+    consts = minhash_perm_consts(n_perms)
+    out_schema = f"{id_col} bigint, " + ", ".join(f"h{i} bigint" for i in range(n_perms))
+
+    def gen(it):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        md5 = hashlib.md5
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        A = np.array([a for a, _ in consts], dtype=np.uint64)[:, None]
+        B = np.array([b for _, b in consts], dtype=np.uint64)[:, None]
+        P = np.uint64(MINHASH_P)
+        x_mask = MINHASH_X_MOD - 1  # power of two: % == bitmask
+        cache: dict[str, int] = {}
+        for pdf in it:
+            ids, mins = [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                if t is None:
+                    # JVM parity: a null text still yields a row (its
+                    # single shingle is NULL, so every min is NULL)
+                    ids.append(int(i))
+                    mins.append([None] * n_perms)
+                    continue
+                norm = ws.sub(" ", t.lower())
+                end = max(len(norm) - k + 1, 1)
+                xs = []
+                seen: set[str] = set()
+                for j in range(end):
+                    s = norm[j : j + k]
+                    if s in seen:
+                        continue
+                    seen.add(s)
+                    x = cache.get(s)
+                    if x is None:
+                        x = (int.from_bytes(md5(s.encode()).digest()[:8], "big") >> 4) & x_mask
+                        if len(cache) < (1 << 22):
+                            cache[s] = x
+                    xs.append(x)
+                xv = np.asarray(xs, dtype=np.uint64)[None, :]
+                ids.append(int(i))
+                mins.append(((A * xv + B) % P).min(axis=1).astype(np.int64).tolist())
+            if ids:
+                data = {id_col: np.asarray(ids, dtype=np.int64)}
+                for j in range(n_perms):
+                    data[f"h{j}"] = pd.array(
+                        [m[j] for m in mins], dtype="Int64"
+                    )
+                yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
 def minhash_wide_frame(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_perms: int = MINHASH_PERMS,
                        k: int = SHINGLE_LEN) -> DataFrame:
@@ -246,19 +331,16 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int,
         every intermediate fits int64, so the DuckDB oracle reproduces
         it exactly from the same (a_i, b_i) constant table.
       'fast' — deployment path: vectorized rolling-hash shingles
-        (shingle_hash_frame, LONG values), x spread per perm by one
-        codegen'd xxhash64(perm, shingle) — no string concat per perm.
-    """
-    from borges_spark.functions.text import (
-        MINHASH_P,
-        MINHASH_X_MOD,
-        hash60_col,
-        minhash_perm_consts,
-    )
+        (shingle_hash_frame, LONG values), spread per perm by a
+        worker-side bit-exact xxhash64 replica.
 
-    # spread docs across the cluster BEFORE the ~2000x shingle explode:
-    # a single-row-group parquet source would otherwise pin the whole
-    # explode+hash stage (the dominant cost) onto one task
+    Both modes compute end-to-end in the numpy worker since r6
+    (minhash_wide_oracle_frame / minhash_wide_frame): one row per doc
+    out, zero shuffle.
+    """
+    # spread docs across the cluster BEFORE the signature pass: a
+    # single-row-group parquet source would otherwise pin the whole
+    # worker stage (the dominant cost) onto one task
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism, id_col)
     if hash_mode == "fast":
@@ -266,19 +348,11 @@ def _minhash_wide(docs: DataFrame, text_col: str, id_col: str, n_perms: int,
         # minhash_wide_frame): same values as the former JVM
         # explode + 16x xxhash64 + wide min-agg, zero shuffle
         return minhash_wide_frame(docs, text_col, id_col, n_perms)
-    else:
-        ex = docs.select(
-            F.col(id_col), F.explode(shingles_col(F.col(text_col))).alias("sh")
-        )
-        x = hash60_col(F.col("sh")) % F.lit(MINHASH_X_MOD)
-        hcols = [
-            ((x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
-            for i, (a, b) in enumerate(minhash_perm_consts(n_perms))
-        ]
-    hashed = ex.select(id_col, *hcols)
-    return hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(n_perms)]
-    )
+    # oracle mode: also fully worker-side since r6 (was: interpreted
+    # higher-order shingle transform + explode + md5 expression + wide
+    # min-agg shuffle — BatchEvalPython-free but ~10x slower; the DuckDB
+    # oracle pins the values either way)
+    return minhash_wide_oracle_frame(docs, text_col, id_col, n_perms)
 
 
 def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -297,41 +371,64 @@ def minhash_signature(docs: DataFrame, text_col: str = "text", id_col: str = "do
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       n_perms: int = MINHASH_PERMS, band_size: int = 2,
-                      hash_mode: str = "oracle") -> DataFrame:
+                      hash_mode: str = "oracle", salt_k: int = 8) -> DataFrame:
     """Candidate near-dup pairs: ids sharing any LSH band bucket.
 
-    Band hash = md5 of the concatenated minhashes in the band; the
-    self-join is an equi-join on (band, band_hash) — bucketed, never
-    all-pairs.
+    The self-join is an equi-join on the band's RAW minhash values —
+    bucketed, never all-pairs. Raw-value equality is exactly the md5
+    band-hash equality the DuckDB oracle tests (md5 of the concatenated
+    minhashes is injective barring md5 collisions), minus n_bands md5 +
+    string-concat evaluations per doc.
+
+    Skew (guide §2.5): a template cluster puts thousands of docs into
+    ONE band bucket — a single join key whose s^2/2 pair expansion AQE
+    cannot split (measured at sf0.1: one bucket of 2,138 docs emitted
+    2.28M of the 4.18M pre-distinct pairs in one task; the hot task IS
+    the query wall at 10x that scale). Both sides are therefore salted
+    into a salt_k x salt_k chunk grid keyed by a deterministic hash of
+    the doc id: side A replicates each row for every partner chunk cb,
+    side B for every ca, and the join keys on (band, values, ca, cb) —
+    every (a, b) pair still meets exactly once (at (ca(a), cb(b))), but
+    the hottest bucket now spreads over salt_k^2 independent keys.
+    Replication cost is salt_k x a few tens of bytes per band row —
+    O(n) small rows against an O(s^2) hot-key split.
+
+    The signature subtree is persist()ed: both join sides consume it,
+    and without the cache marker each side would re-run the worker
+    signature pass (plan-identical subtrees do not share work across
+    two Exchanges).
     """
-    wide = _minhash_wide(docs, text_col, id_col, n_perms, hash_mode)
+    wide = _minhash_wide(docs, text_col, id_col, n_perms, hash_mode).persist()
     n_bands = n_perms // band_size
-    # band hash: minhashes concatenated in perm order, straight from the
-    # wide columns — no collect_list, no second shuffle
+    vcols = [f"v{j}" for j in range(band_size)]
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{b * band_size + j}").cast("string")
-                            for j in range(band_size)
-                        ],
-                    )
-                ).alias("band_hash"),
+                *[
+                    F.col(f"h{b * band_size + j}").alias(vcols[j])
+                    for j in range(band_size)
+                ],
             )
             for b in range(n_bands)
         ]
     )
-    bands = wide.select(
-        F.col(id_col), F.explode(band_structs).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    bands = wide.select(F.col(id_col), F.explode(band_structs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"),
+        *[F.col(f"bb.{v}").alias(v) for v in vcols],
+    )
+    chunk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_k)).cast("int")
+    salts = F.array(*[F.lit(j) for j in range(salt_k)])
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band", *vcols,
+        chunk.alias("ca"), F.explode(salts).alias("cb"),
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band", *vcols,
+        F.explode(salts).alias("ca"), chunk.alias("cb"),
+    )
     return (
-        a.join(b, ["band", "band_hash"])
+        a.join(b, ["band", *vcols, "ca", "cb"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -355,10 +452,45 @@ aggregate(
 """
 
 
+def _np_simhash_votes(hash_lists, n_bits: int):
+    """Vectorized bit votes over per-doc 60-bit token-hash arrays —
+    the numpy twin of the interpreted _SIMHASH_EXPR fold (bit b set
+    when #(hashes with bit b) > #(hashes without)); proven equivalent
+    by the q:simhash_fast cross-implementation diff gate. Returns a
+    pandas int64 Series with None for null inputs."""
+    import numpy as np
+    import pandas as pd
+
+    shifts = np.arange(n_bits, dtype=np.uint64)[None, :]
+    out = []
+    for arr in hash_lists:
+        if arr is None:
+            # JVM parity: a null token array folds to 0, not NULL (the
+            # per-bit CASE turns the null inner aggregate into ELSE 0)
+            out.append(0)
+            continue
+        a = np.asarray(arr, dtype=np.int64).view(np.uint64)[:, None]
+        ones = ((a >> shifts) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+        votes = 2 * ones - len(a)
+        out.append(int(((votes > 0).astype(np.uint64) << shifts[0]).sum()))
+    return pd.Series(out, dtype="object")
+
+
 def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                  n_bits: int = SIMHASH_BITS, hash_mode: str = "oracle") -> DataFrame:
-    """60-bit SimHash over distinct whitespace tokens — pure column
-    algebra, JVM-side, one pass, no shuffle."""
+                  n_bits: int = SIMHASH_BITS, hash_mode: str = "oracle",
+                  impl: str = "np") -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens.
+
+    impl='np' (default since r6): token hashes stay JVM-side (one
+    codegen'd md5/xxhash per distinct token inside a transform), the
+    60-bit vote fold runs vectorized in an Arrow worker — the former
+    pure-expression fold (impl='expr', kept as the independent arm of
+    the q:simhash_fast diff gate) evaluated ~n_bits interpreted
+    aggregate passes per token and was the whole query wall (guide
+    §4.2). Values are bit-identical: the oracle mode is gated by the
+    DuckDB twin, the fast mode by the cross-implementation diff."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
     from borges_spark.functions.text import pick_hash60
 
     h60 = pick_hash60(hash_mode)
@@ -369,10 +501,13 @@ def simhash_table(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     hashed = docs.select(
         F.col(id_col), F.transform(toks, lambda t: h60(t)).alias("_hashes")
     )
-    return hashed.select(
-        id_col,
-        F.expr(_SIMHASH_EXPR.format(hi=n_bits - 1, hashes="_hashes")).alias("simhash"),
-    )
+    if impl == "expr":
+        return hashed.select(
+            id_col,
+            F.expr(_SIMHASH_EXPR.format(hi=n_bits - 1, hashes="_hashes")).alias("simhash"),
+        )
+    votes = pandas_udf(lambda hs: _np_simhash_votes(hs, n_bits), "long")
+    return hashed.select(id_col, votes("_hashes").alias("simhash"))
 
 
 def simhash_neardup_pairs(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -608,20 +743,120 @@ def cosine_sim_col(a: Column, b: Column) -> Column:
 def embedding_neardup_pairs(emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                             bucket_col: str = "label", threshold: float = 0.95) -> DataFrame:
     """Near-dup vectors within coarse buckets (a label / cluster id /
-    LSH bucket): equi-join on bucket bounds the pair count, then exact
-    cosine verification. The all-pairs version is deliberately absent."""
-    emb = emb.repartition(emb.sparkSession.sparkContext.defaultParallelism, id_col)
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"), F.col(bucket_col).alias("bk"))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"), F.col(bucket_col).alias("bk"))
-    cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
-    sim = cosine_sim_col(
-        F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")
-    )
+    LSH bucket): bucketing bounds the pair count, then exact cosine
+    verification. The all-pairs version is deliberately absent.
+
+    Since r6 the within-bucket pair scan runs as ONE numpy Gram-matrix
+    pass per bucket (applyInPandas) instead of a bucket equi-join whose
+    per-pair cosine was ~200 interpreted higher-order-function
+    evaluations (guide §4.2) — that join evaluated 3 array folds for
+    every candidate pair and was quadratic-in-bucket twice over (pair
+    count x per-pair fold).
+
+    Result-exactness contract (the former JVM expression is the
+    semantic spec): a BLAS matrix product decides only pairs that are
+    >= 1e-9 AWAY from the keep boundary (cross-summation-order float
+    error is bounded by ~64 ulp ~ 1e-13 via Cauchy-Schwarz, four
+    orders below the margin); every pair at or above the boundary
+    margin is re-computed with a bit-exact replica of the JVM fold
+    (strict left-to-right double adds == np.cumsum, self-checked per
+    task against a Python fold and falling back to the Python fold on
+    any mismatch) and rounded with a replica of Spark's ROUND (shortest
+    decimal repr, HALF_UP). Kept pairs therefore carry the identical
+    cosine double and the identical keep decision as the expression
+    plan."""
+    out_schema = "id_a long, id_b long, cosine double"
+    thr = float(threshold)
+    # keep <=> round6(cos) >= thr <=> cos >= thr - 5e-7 (half-up), so
+    # anything below boundary-margin is provably dropped
+    boundary = thr - 5e-7 - 1e-9
+
+    def per_bucket(pdf):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                              "id_b": pd.Series(dtype="int64"),
+                              "cosine": pd.Series(dtype="float64")})
+        pdf = pdf[pdf[vec_col].notna()]
+        n = len(pdf)
+        if n < 2:
+            return empty
+
+        ids_raw = pdf[id_col].to_numpy()
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
+        )
+
+        def fold_rows(m):
+            # strict left-to-right double sum per row == the JVM
+            # aggregate() fold; cumsum is sequential by construction,
+            # self-checked below
+            return np.cumsum(m, axis=1)[:, -1]
+
+        probe = V[: min(8, n)] * V[: min(8, n)]
+        seq_ok = all(
+            np.cumsum(row)[-1] == _foldl(row) for row in probe
+        )
+        if seq_ok:
+            exact_sq = fold_rows(V * V)
+        else:  # pragma: no cover - platform cumsum surprise
+            exact_sq = np.array([_foldl(row) for row in V * V])
+        exact_norm = np.sqrt(exact_sq)
+
+        # prefilter Gram pass (any summation order)
+        fast_norm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        q = Decimal("0.000001")
+        out_a, out_b, out_c = [], [], []
+        # zero-norm rows: the expression plan's cosine division raises
+        # under ANSI (DIVIDE_BY_ZERO) — mirror that failure instead of
+        # silently inventing a NaN semantic the old plan never had
+        if bool((exact_norm == 0.0).any()):
+            raise ArithmeticError(
+                "embedding_neardup_pairs: zero-norm embedding in bucket "
+                "(cosine division by zero, as in the ANSI expression plan)"
+            )
+        blk = 1024
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for s0 in range(0, n, blk):
+                C = (V[s0 : s0 + blk] @ V.T) / (
+                    fast_norm[s0 : s0 + blk, None] * fast_norm[None, :]
+                )
+                ii, jj = np.where(C >= boundary)
+                for bi, j in zip(ii.tolist(), jj.tolist()):
+                    i = s0 + bi
+                    if j <= i:
+                        continue
+                    prod = V[i] * V[j]
+                    dot = np.cumsum(prod)[-1] if seq_ok else _foldl(prod)
+                    cos = dot / (exact_norm[i] * exact_norm[j])
+                    r = float(Decimal(repr(cos)).quantize(q, rounding=ROUND_HALF_UP))
+                    if r >= thr:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_c.append(r)
+        if not out_a:
+            return empty
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
     return (
-        cand.withColumn("cosine", F.round(sim, 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        emb.filter(F.col(bucket_col).isNotNull())
+        .select(F.col(id_col), F.col(vec_col), F.col(bucket_col))
+        .groupBy(bucket_col)
+        .applyInPandas(per_bucket, out_schema)
     )
+
+
+def _foldl(row) -> float:
+    """Plain left-to-right Python float fold — the reference order."""
+    s = 0.0
+    for x in row.tolist():
+        s += x
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -642,13 +877,18 @@ def _token_window_hashes(text: str | None, w: int):
     _rolling_hash_doc. Returns uint64 array of n_tokens - w + 1 window
     hashes (empty when the doc is shorter than w tokens), None for a
     null text."""
+    import re
     import zlib
 
     import numpy as np
 
     if text is None:
         return None
-    toks = text.lower().split()
+    # explicit ASCII whitespace class (what Java/DuckDB \s+ matches in
+    # the oracle paths) — Python str.split() is Unicode-aware (NBSP,
+    # thin space, ...) and would tokenize differently on non-ASCII
+    # whitespace, silently breaking the substring_dedup_fast 0-row gate
+    toks = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if t]
     n = len(toks)
     if n < w:
         return np.empty(0, dtype=np.uint64)

@@ -269,3 +269,117 @@ def test_numpy_xxh64_bit_parity_with_spark(spark):
         for p, v in rows
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-6 optimization parity gates: each rewritten hot path vs the
+# former JVM-expression formulation it replaced (independent engine,
+# same spec)
+
+
+EDGE_TEXTS = [
+    (10, ""),
+    (11, " "),
+    (12, "\tleading tab and trailing\t"),
+    (13, "a  b\n\nc"),
+    (14, None),
+    (15, "x" * 3),  # shorter than one shingle
+    (16, "Mixed CASE   WhiteSpace\x0bforms\r\nhere"),
+]
+
+
+def _old_minhash_wide_expr(docs):
+    """The pre-r6 JVM oracle signature: interpreted shingle transform +
+    explode + md5 expression + wide min-agg. Kept here as the parity
+    arm for the worker-side rewrite."""
+    from borges_spark.functions.text import (
+        MINHASH_P,
+        MINHASH_PERMS,
+        MINHASH_X_MOD,
+        hash60_col,
+        minhash_perm_consts,
+    )
+    from borges_spark.operators.dedup import shingles_col
+
+    ex = docs.select(F.col("doc_id"), F.explode(shingles_col(F.col("text"))).alias("sh"))
+    x = hash60_col(F.col("sh")) % F.lit(MINHASH_X_MOD)
+    hcols = [
+        ((x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_perm_consts(MINHASH_PERMS))
+    ]
+    return ex.select("doc_id", *hcols).groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(MINHASH_PERMS)]
+    )
+
+
+def test_minhash_oracle_worker_matches_jvm_expression(spark, docs):
+    from borges_spark.operators.dedup import minhash_wide_oracle_frame
+
+    df = docs.unionByName(spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string"))
+    got = {tuple(r) for r in minhash_wide_oracle_frame(df).collect()}
+    want = {tuple(r) for r in _old_minhash_wide_expr(df).collect()}
+    # null text rows are absent from both (explode drops null arrays)
+    assert got == want
+
+
+def test_minhash_pairs_salted_join_matches_unsalted(spark, docs):
+    for mode in ("oracle", "fast"):
+        salted = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(docs, hash_mode=mode, salt_k=4).collect()
+        }
+        plain = {
+            (r["id_a"], r["id_b"])
+            for r in D.minhash_lsh_pairs(docs, hash_mode=mode, salt_k=1).collect()
+        }
+        assert salted == plain and salted
+
+
+def test_simhash_np_votes_match_expression_fold(spark, docs):
+    df = docs.unionByName(spark.createDataFrame(EDGE_TEXTS, "doc_id long, text string"))
+    for mode in ("oracle", "fast"):
+        got = {tuple(r) for r in D.simhash_table(df, hash_mode=mode).collect()}
+        want = {tuple(r) for r in D.simhash_table(df, hash_mode=mode, impl="expr").collect()}
+        assert got == want
+
+
+def _old_embedding_neardup_expr(emb, threshold):
+    from borges_spark.operators.dedup import cosine_sim_col
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("v_a"),
+                   F.col("label").alias("bk"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("v_b"),
+                   F.col("label").alias("bk"))
+    cand = a.join(b, "bk").filter(F.col("id_a") < F.col("id_b"))
+    sim = cosine_sim_col(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>"))
+    return (cand.withColumn("cosine", F.round(sim, 6))
+            .filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine"))
+
+
+def test_embedding_neardup_numpy_matches_expression(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 7),
+        (1, [0.92, 0.39, 0.0], 7),
+        (2, [1.0, 0.001, 0.0], 7),
+        (3, [0.4, 0.9165151, 0.0], 7),   # near the 0.92 boundary vs id 1
+        (4, None, 7),                     # null vector: dropped by both
+        (5, [1.0, 0.0, 0.0], None),       # null bucket: dropped by both
+        (6, [-1.0, 0.0, 0.0], 8),
+        (7, [-0.999, -0.02, 0.0], 8),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    for thr in (0.92, 0.4, 0.95):
+        got = {(r["id_a"], r["id_b"]): r["cosine"]
+               for r in D.embedding_neardup_pairs(emb, threshold=thr).collect()}
+        want = {(r["id_a"], r["id_b"]): r["cosine"]
+                for r in _old_embedding_neardup_expr(emb, thr).collect()}
+        assert got == want
+
+
+def test_embedding_neardup_zero_norm_raises(spark):
+    import pytest as _pytest
+
+    rows = [(0, [1.0, 0.0], 1), (1, [0.0, 0.0], 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    with _pytest.raises(Exception, match="(?i)zero|divide"):
+        D.embedding_neardup_pairs(emb, threshold=0.5).collect()

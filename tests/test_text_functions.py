@@ -176,3 +176,49 @@ def test_gopher_repetition_rule_edges(spark):
     assert rows[3]["ok_top2gram"] == 0
     assert rows[4]["ok_dup5gram"] == 0 and rows[4]["ok_top2gram"] == 1
     assert rows[4]["dup5_chars"] == 40  # 10 covered words x 4 chars
+
+
+def test_token_counts_frame_matches_jvm_columns(spark):
+    """r6: the worker-side token_counts_frame vs the JVM regex columns
+    it replaced, over the split/trim edge cases that differ between
+    naive replications (space-only trim, trailing-empty-kept split,
+    ASCII-only \\s)."""
+    from borges_spark.functions.text import (
+        bpe_ish_token_count_col,
+        token_count_col,
+        token_counts_frame,
+    )
+
+    cases = [
+        (0, None), (1, ""), (2, " "), (3, "a b"), (4, " a b "),
+        (5, "\ta b\t"), (6, "a  b\n"), (7, "a\tb\x0bc"), (8, "tab\t"),
+        (9, "a,b!! c9x"), (10, "  "), (11, "\t"), (12, "x"),
+        (13, "line1\nline2\r\nline3"), (14, "42 4.5 -x_"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["a"], r["b"])
+        for r in df.select(
+            "doc_id",
+            token_count_col(F.col("text")).alias("a"),
+            bpe_ish_token_count_col(F.col("text")).alias("b"),
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_subword_tokens"])
+        for r in token_counts_frame(df).collect()
+    }
+    assert got == want
+
+
+def test_gopher_flags_null_text_yields_nulls(spark):
+    """r6 (ADVICE): NULL text must yield NULL counts/flags — the DuckDB
+    twin's len(NULL list) is NULL, while an unguarded Spark size(null
+    array) is -1 and would break the hash-exact gate."""
+    from borges_spark.functions.text import gopher_flag_cols
+
+    df = spark.createDataFrame([(1, None), (2, "the be to of and that have with " * 10)],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in df.select("doc_id", *gopher_flag_cols(F.col("text"))).collect()}
+    assert all(v is None for k, v in rows[1].asDict().items() if k != "doc_id")
+    assert rows[2]["n_words"] == 80 and rows[2]["ok_stop_words"] == 1
