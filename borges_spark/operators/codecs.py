@@ -1127,18 +1127,23 @@ def _vp8l_prefix_value(br: _LsbReader, prefix_code: int) -> int:
 def _vp8l_dist_map() -> list[tuple[int, int]]:
     """The 120-entry 2D neighborhood for distance codes 1..120: (dx, dy)
     offsets ordered near-to-far (dx^2+dy^2 ascending, larger dy first on
-    ties, positive dx before negative). The fixture encoder only emits
-    linear (code > 120) distances plus the verified first entry (0, 1);
-    the generated order matches the spec's published table on the near
-    entries every real encoder prefers."""
+    ties, positive dx before negative). Domain matches the spec's fixed
+    plane-code table exactly (RFC 9649 / libwebp kCodeToPlaneCodes:
+    xoffset = 8 - (code & 0xF) in [-7, 8], yoffset = code >> 4 in
+    [0, 7]) — dy 0..7 x dx -7..8 is 120 entries on the nose, so nothing
+    is truncated and far 2D distances decode per spec. (The pre-r6
+    generator enumerated dy<=8 / |dx|<=8 and cut at 120, which displaced
+    10 far entries.) Spot-pinned against the published table in
+    tests/test_codecs.py."""
     cands = []
-    for dy in range(0, 9):
-        for dx in range(-8, 9):
+    for dy in range(0, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
-    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0, abs(p[0])))
-    return cands[:120]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    assert len(cands) == 120
+    return cands
 
 
 _DIST_MAP = _vp8l_dist_map()
@@ -1276,16 +1281,21 @@ def _inv_predictor(img: np.ndarray, w: int, h: int, pred_img: np.ndarray,
             elif mode == 10:
                 pred = avg2(avg2(L, TL), avg2(T, TR))
             elif mode == 11:  # Select
+                # spec: strict pL < pT returns L, ties return T
                 p = L + T - TL
-                if np.abs(p - L).sum() <= np.abs(p - T).sum():
+                if np.abs(p - L).sum() < np.abs(p - T).sum():
                     pred = L
                 else:
                     pred = T
             elif mode == 12:  # ClampAddSubtractFull
                 pred = np.clip(L + T - TL, 0, 255)
             elif mode == 13:  # ClampAddSubtractHalf
+                # spec: (a - TL) / 2 with C truncation toward zero (floor
+                # division is off by one for negative odd deltas)
                 a = avg2(L, T)
-                pred = np.clip(a + (a - TL) // 2, 0, 255)
+                d = a - TL
+                half = np.where(d >= 0, d // 2, -((-d) // 2))
+                pred = np.clip(a + half, 0, 255)
             else:
                 raise ValueError(f"bad predictor mode {mode}")
         img[pos] = ((img[pos].astype(np.int32) + pred) & 0xFF).astype(np.uint8)

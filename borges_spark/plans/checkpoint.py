@@ -268,6 +268,27 @@ class SnapshotStore:
         (determinism makes the re-crawl bit-identical)."""
         if round_no not in self.rounds():
             raise ValueError(f"round {round_no} is not a committed snapshot")
+        # Refuse to roll back onto a round whose live state was already
+        # reclaimed by expire_snapshots: moving LATEST there and GC'ing
+        # the later rounds would delete the only surviving snapshot
+        # copies and leave the store unresumable with no recovery path.
+        # Mirrors read_as_of's resolution: each snapshot dataset
+        # resolves to its newest committed copy at or before round_no.
+        for name in SNAPSHOT_DATASETS:
+            carrying = [
+                r for r in self.rounds()
+                if r <= round_no and name in self.manifest(r).get("datasets", [])
+            ]
+            if not carrying:
+                continue
+            rno = max(carrying)
+            if name in self.manifest(rno).get("expired", []):
+                raise ValueError(
+                    f"cannot roll back to round {round_no}: its "
+                    f"'{name}' snapshot (round {rno}) was reclaimed by "
+                    f"expire_snapshots; the rollback would GC every "
+                    f"later live copy and leave the store unresumable"
+                )
         later = [r for r in self.rounds() if r > round_no]
         tmp = self._latest_path() + ".tmp"
         with open(tmp, "w") as f:

@@ -534,12 +534,18 @@ def test_webp_predictor_modes_inverse_matches_forward():
             else:
                 L, T = orig[pos - 1].astype(np.int32), orig[pos - w].astype(np.int32)
                 TL, TR = orig[pos - w - 1].astype(np.int32), orig[pos - w + 1].astype(np.int32)
+                # spec semantics (r6/ADVICE): Select is strict pL < pT
+                # (ties -> T); AddSubtractHalf truncates toward zero
+                half = np.array(
+                    [int((int(a) - int(b)) / 2) for a, b in zip(avg2(L, T), TL)],
+                    dtype=np.int32,
+                )
                 p = [np.array([255, 0, 0, 0], dtype=np.int32), L, T, TR, TL,
                      avg2(avg2(L, TR), T), avg2(L, TL), avg2(L, T), avg2(TL, T),
                      avg2(T, TR), avg2(avg2(L, TL), avg2(T, TR)),
-                     L if np.abs((L + T - TL) - L).sum() <= np.abs((L + T - TL) - T).sum() else T,
+                     L if np.abs((L + T - TL) - L).sum() < np.abs((L + T - TL) - T).sum() else T,
                      np.clip(L + T - TL, 0, 255),
-                     np.clip(avg2(L, T) + (avg2(L, T) - TL) // 2, 0, 255)][mode]
+                     np.clip(avg2(L, T) + half, 0, 255)][mode]
             res[pos] = ((orig[pos].astype(np.int32) - p) & 0xFF).astype(np.uint8)
         return res
 
@@ -684,3 +690,26 @@ def test_webp_dispatch_and_lossy_fallback(spark):
     assert C.sniff(lossy) == "webp"
     f = _decode_image(lossy)
     assert len(f) == 4  # byte-moment fallback vector
+
+
+def test_vp8l_distance_map_matches_spec_table():
+    """r6 (ADVICE): the 2D distance map must be the spec's fixed
+    120-entry table (RFC 9649 'distance mapping' / libwebp
+    kCodeToPlaneCodes with xoffset = 8-(b&0xF), yoffset = b>>4) —
+    domain dy 0..7 x dx -7..8, nothing truncated. Spot-pin the
+    published head of the table, the far tail the old generator
+    displaced, and the plane-code domain."""
+    m = C._vp8l_dist_map()
+    assert len(m) == 120
+    # head of the published table
+    assert m[:12] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                      (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2)]
+    # far entries that the off-spec dy<=8/|dx|<=8 enumeration displaced
+    assert (8, 4) in m and (7, 6) in m and (7, 7) in m and (8, 7) in m
+    assert m[-1] == (8, 7) and m[-2] == (8, 6)
+    # plane-code domain: every entry encodes to a valid code byte
+    for dx, dy in m:
+        assert 0 <= dy <= 7 and -7 <= dx <= 8
+        b = (dy << 4) | (8 - dx)
+        assert 0 <= b < 128
+    assert len(set(m)) == 120

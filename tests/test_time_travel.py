@@ -199,3 +199,22 @@ def test_heal_interrupted_compaction(spark, full_store, tmp_path):
     s3.gc_uncommitted()
     assert not os.path.exists(live3 + ".pre_compact")
     assert _log_tuples(spark, s3) == before
+
+
+def test_rollback_refuses_expired_target(spark, full_store, tmp_path):
+    """r6 (ADVICE): rolling back onto a round whose snapshots were
+    reclaimed by expire_snapshots must refuse — it would GC the only
+    surviving live frontier and leave the store unresumable."""
+    root = str(tmp_path / "rbx")
+    shutil.copytree(full_store.root, root)
+    store = SnapshotStore(root)
+    rounds = store.rounds()
+    last = rounds[-1]
+    store.expire_snapshots(keep_last=1, spark=spark)
+    with pytest.raises(ValueError, match="reclaimed|unresumable"):
+        store.rollback(rounds[0], spark=spark)
+    # the refusal left the store intact: latest unchanged, resume works
+    assert store.latest_round() == last
+    eng = _engine(spark, root, ROUNDS + 1)
+    eng.run(resume=True)
+    assert eng.store.latest_round() >= last
