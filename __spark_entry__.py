@@ -30,6 +30,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _input_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table — the scale statistic for adaptive plan
+    choices (single parquet file or a directory of part files)."""
+    import os
+
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dn, fn in os.walk(path)
+                for f in fn
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 1 << 62  # unknown -> assume big (the scale-safe plan)
+
+
 def _dec(c, scale: int = 4):
     return c.cast(f"decimal(18,{scale})")
 
@@ -712,8 +730,20 @@ FROM documents GROUP BY 2
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r6: one Python pass computes both counts (token_counts_frame) —
     # was two JVM regex passes per doc; values pinned identical by the
-    # DuckDB oracle + the edge-semantics tests
+    # DuckDB oracle + the edge-semantics tests. The worker path carries
+    # ~0.2 s of fixed Arrow/worker spawn cost, so the plan is chosen by
+    # input size (scale-adaptive, like AQE — NOT a constant tuned to one
+    # bench size): below a few MB of parquet the JVM expression path is
+    # strictly cheaper, above it the per-doc regex cost dominates and
+    # the worker wins severalfold. Both paths are parity-locked by
+    # tests/test_text_functions.py::test_token_counts_frame_matches_jvm_columns.
     docs = _t(spark, sf_dir, "documents")
+    if _input_bytes(sf_dir, "documents") < 3 * 1024 * 1024:
+        return docs.select(
+            "doc_id",
+            X.token_count_col(F.col("text")).alias("n_tokens"),
+            X.bpe_ish_token_count_col(F.col("text")).alias("n_subword_tokens"),
+        )
     return X.token_counts_frame(docs).select("doc_id", "n_tokens", "n_subword_tokens")
 
 
