@@ -331,24 +331,26 @@ def gopher_flag_cols(c: Column) -> list[Column]:
     f_bullet = n_bullet * 10 <= n_lines * 9
     f_ellipsis = n_ell * 10 <= n_lines * 3
     keep = f_words & f_mwl & f_sym & f_alpha & f_stop & f_bullet & f_ellipsis
-    # NULL text -> every output NULL, matching the DuckDB twin (len of a
-    # NULL list is NULL there, while Spark's size() of a null array is
-    # -1 — without the guard a null-text doc breaks the hash-exact gate)
-    nn = c.isNotNull()
-
-    def _g(col):
-        return F.when(nn, col)
-
+    # NULL-text parity with the DuckDB twin needs no guard under ANSI
+    # mode (the engine's default): size()/aggregate() of a null array
+    # return NULL, every comparison null-propagates, so all nine
+    # outputs are NULL exactly like len(NULL list) in DuckDB — pinned
+    # by tests/test_text_functions.py::test_gopher_flags_null_text_yields_nulls.
+    # Deliberately NOT wrapped in per-column when(isNotNull, ...): the
+    # conditional branches would exclude the shared `ts` subexpression
+    # from common-subexpression elimination and re-evaluate the split
+    # per column (measured ~2x on this query). Non-ANSI sessions would
+    # see -1 counts instead of NULL; the engine never disables ANSI.
     return [
-        _g(n_words.cast("long")).alias("n_words"),
-        _g(f_words.cast("int")).alias("ok_word_count"),
-        _g(f_mwl.cast("int")).alias("ok_mean_word_len"),
-        _g(f_sym.cast("int")).alias("ok_symbol_ratio"),
-        _g(f_alpha.cast("int")).alias("ok_alpha_words"),
-        _g(f_stop.cast("int")).alias("ok_stop_words"),
-        _g(f_bullet.cast("int")).alias("ok_bullet_lines"),
-        _g(f_ellipsis.cast("int")).alias("ok_ellipsis_lines"),
-        _g(keep.cast("int")).alias("keep"),
+        n_words.cast("long").alias("n_words"),
+        f_words.cast("int").alias("ok_word_count"),
+        f_mwl.cast("int").alias("ok_mean_word_len"),
+        f_sym.cast("int").alias("ok_symbol_ratio"),
+        f_alpha.cast("int").alias("ok_alpha_words"),
+        f_stop.cast("int").alias("ok_stop_words"),
+        f_bullet.cast("int").alias("ok_bullet_lines"),
+        f_ellipsis.cast("int").alias("ok_ellipsis_lines"),
+        keep.cast("int").alias("keep"),
     ]
 
 
